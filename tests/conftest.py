@@ -1,0 +1,19 @@
+"""Test configuration: run JAX on a virtual 8-device CPU mesh.
+
+Multi-chip behavior (SPMD sharding, collectives) is validated on the host with
+``--xla_force_host_platform_device_count=8`` — the TPU-native replacement for the
+fake-backend distributed testing the reference lacks (SURVEY.md §4).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (
+        xla_flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

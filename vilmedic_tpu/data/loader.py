@@ -1,0 +1,145 @@
+"""Host-side data loader: sampling, batching, threaded prefetch, per-host sharding.
+
+Replaces the reference's ``torch.utils.data.DataLoader`` wiring
+(reference vilmedic/executors/utils.py:140-198): random sampling with drop_last for
+the train split, sequential otherwise, and dataset-provided collate functions.
+
+TPU-first deltas:
+- batches are numpy pytrees ready for ``jax.device_put`` (no pin_memory concept);
+- decode/transform work is overlapped with device compute through a bounded
+  thread-pool prefetch window rather than worker processes;
+- optional ``shard_index/num_shards`` slice every batch for multi-host SPMD, so each
+  process feeds its addressable shard of the global batch (the JAX analog of the
+  DistributedSampler that Accelerate injects, reference trainor_accelerate.py:91-93).
+"""
+
+from __future__ import annotations
+
+import math
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Callable, Iterator, Optional
+
+import numpy as np
+
+
+class DataLoader:
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = False,
+        drop_last: bool = False,
+        collate_fn: Optional[Callable] = None,
+        num_workers: int = 4,
+        seed: int = 0,
+        prefetch: int = 4,
+        shard_index: int = 0,
+        num_shards: int = 1,
+    ):
+        assert batch_size % num_shards == 0 or not shuffle, (
+            "Global train batch size must divide evenly across hosts"
+        )
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.collate_fn = collate_fn or (
+            dataset.get_collate_fn() if hasattr(dataset, "get_collate_fn") else _default_collate
+        )
+        self.num_workers = max(0, num_workers)
+        self.seed = seed
+        self.prefetch = max(1, prefetch)
+        self.shard_index = shard_index
+        self.num_shards = num_shards
+        self.epoch = 0
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return math.ceil(n / self.batch_size)
+
+    def set_epoch(self, epoch: int):
+        """Reshuffle deterministically per epoch (multi-host consistent)."""
+        self.epoch = epoch
+
+    def _batch_indices(self):
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self.epoch)
+            rng.shuffle(order)
+        batches = []
+        for start in range(0, n, self.batch_size):
+            batch = order[start: start + self.batch_size]
+            if self.drop_last and len(batch) < self.batch_size:
+                continue
+            if self.num_shards > 1:
+                batch = batch[self.shard_index:: self.num_shards]
+                if len(batch) == 0:
+                    continue
+            batches.append(batch)
+        return batches
+
+    def _load(self, indices):
+        return self.collate_fn([self.dataset[int(i)] for i in indices])
+
+    def __iter__(self) -> Iterator:
+        batches = self._batch_indices()
+        if self.num_workers == 0:
+            for b in batches:
+                yield self._load(b)
+            return
+
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                futures = [pool.submit(self._load, b) for b in batches[: self.prefetch]]
+                next_submit = self.prefetch
+                for i in range(len(batches)):
+                    if stop.is_set():
+                        for f in futures:
+                            f.cancel()
+                        return
+                    out_q.put(futures.pop(0).result())
+                    if next_submit < len(batches):
+                        futures.append(pool.submit(self._load, batches[next_submit]))
+                        next_submit += 1
+            out_q.put(_SENTINEL)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        try:
+            while True:
+                item = out_q.get()
+                if item is _SENTINEL:
+                    break
+                yield item
+        finally:
+            stop.set()
+            # Drain so the producer can exit if the consumer stopped early.
+            while thread.is_alive():
+                try:
+                    out_q.get_nowait()
+                except queue.Empty:
+                    break
+
+
+_SENTINEL = object()
+
+
+def _default_collate(batch):
+    out = {}
+    for key in batch[0]:
+        vals = [b[key] for b in batch]
+        if isinstance(vals[0], (int, float, np.integer, np.floating)):
+            out[key] = np.asarray(vals)
+        elif isinstance(vals[0], np.ndarray):
+            out[key] = np.stack(vals)
+        else:
+            out[key] = vals
+    return out
