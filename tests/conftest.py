@@ -17,3 +17,8 @@ if "xla_force_host_platform_device_count" not in xla_flags:
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_vilmedic_tpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

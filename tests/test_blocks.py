@@ -1,0 +1,149 @@
+"""Flax block tests: decoder cache consistency, vision tower shapes, masks."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vilmedic_tpu.blocks.transformer import (
+    TransformerConfig,
+    TransformerDecoder,
+    TransformerEncoder,
+    causal_lm_loss,
+)
+from vilmedic_tpu.blocks.vision import VisualEncoder, build_visual_encoder
+
+CFG = TransformerConfig(
+    vocab_size=50,
+    hidden_size=32,
+    num_hidden_layers=2,
+    num_attention_heads=4,
+    intermediate_size=64,
+    max_position_embeddings=32,
+    hidden_dropout_prob=0.0,
+)
+
+
+def test_decoder_train_shapes_and_loss():
+    dec = TransformerDecoder(CFG)
+    rng = jax.random.key(0)
+    ids = jnp.array([[2, 5, 6, 7, 3, 0], [2, 9, 8, 3, 0, 0]], dtype=jnp.int32)
+    mask = (ids != 0).astype(jnp.int32)
+    enc = jnp.ones((2, 7, 32))
+    enc_mask = jnp.ones((2, 7), dtype=jnp.int32)
+    params = dec.init(rng, ids, mask, enc, enc_mask)["params"]
+    logits = dec.apply({"params": params}, ids, mask, enc, enc_mask)
+    assert logits.shape == (2, 6, 50)
+    loss = causal_lm_loss(logits, ids, mask)
+    assert loss.shape == () and float(loss) > 0
+
+
+def test_incremental_decode_matches_teacher_forcing():
+    """Cache-based one-token decoding must reproduce full-sequence logits."""
+    dec = TransformerDecoder(CFG)
+    rng = jax.random.key(1)
+    b, t = 2, 5
+    ids = jax.random.randint(rng, (b, t), 3, 50, dtype=jnp.int32)
+    mask = jnp.ones((b, t), dtype=jnp.int32)
+    enc = jax.random.normal(jax.random.key(2), (b, 7, 32))
+    enc_mask = jnp.ones((b, 7), dtype=jnp.int32)
+    params = dec.init(rng, ids, mask, enc, enc_mask)["params"]
+
+    full_logits = dec.apply({"params": params}, ids, mask, enc, enc_mask)
+
+    cache = dec.apply(
+        {"params": params},
+        encoder_hidden_states=enc,
+        mode="init_cache",
+        max_len=t,
+    )
+    step_logits = []
+    for i in range(t):
+        logits, cache = dec.apply(
+            {"params": params},
+            ids[:, i: i + 1],
+            encoder_attention_mask=enc_mask,
+            mode="decode",
+            cache=cache,
+            decode_index=jnp.asarray(i),
+        )
+        step_logits.append(logits[:, 0])
+    step_logits = jnp.stack(step_logits, axis=1)
+    np.testing.assert_allclose(
+        np.asarray(full_logits), np.asarray(step_logits), rtol=2e-3, atol=1e-3
+    )
+
+
+def test_cache_beam_gather():
+    """Cache entries gather cleanly along the batch axis (beam reorder)."""
+    dec = TransformerDecoder(CFG)
+    enc = jnp.ones((4, 3, 32))
+    params = dec.init(jax.random.key(0), jnp.ones((4, 2), jnp.int32), None, enc, None)["params"]
+    cache = dec.apply(
+        {"params": params}, encoder_hidden_states=enc, mode="init_cache", max_len=6
+    )
+    idx = jnp.array([1, 1, 0, 3])
+    reordered = jax.tree.map(lambda x: x[idx], cache)
+    assert reordered[0]["self_k"].shape == cache[0]["self_k"].shape
+
+
+def test_encoder_shapes():
+    enc = TransformerEncoder(CFG)
+    ids = jnp.ones((2, 9), jnp.int32)
+    mask = jnp.ones((2, 9), jnp.int32)
+    params = enc.init(jax.random.key(0), ids, mask)["params"]
+    out = enc.apply({"params": params}, ids, mask)
+    assert out.shape == (2, 9, 32)
+
+
+@pytest.mark.parametrize(
+    "backbone,output_layer,expect_tokens,expect_dim",
+    [
+        ("resnet18", "layer4", 4, 512),  # 64/32=2 -> 2*2 tokens
+        ("densenet121", "features", 4, 1024),
+    ],
+)
+def test_visual_encoder_single_image(backbone, output_layer, expect_tokens, expect_dim):
+    ve = VisualEncoder(backbone=backbone, output_layer=output_layer, permute="batch_first")
+    x = jnp.ones((2, 64, 64, 3))
+    variables = ve.init(jax.random.key(0), x)
+    feats, mask = ve.apply(variables, x, method=VisualEncoder.encode)
+    assert feats.shape == (2, expect_tokens, expect_dim)
+    assert mask.shape == (2, expect_tokens)
+    assert bool(mask.all())
+
+
+def test_visual_encoder_avgpool_vector():
+    ve = VisualEncoder(backbone="resnet18", output_layer="avgpool", permute="batch_first")
+    x = jnp.ones((2, 64, 64, 3))
+    variables = ve.init(jax.random.key(0), x)
+    out = ve.apply(variables, x)
+    assert out.shape == (2, 512)
+
+
+def test_visual_encoder_multi_image_mask():
+    ve = build_visual_encoder(
+        dict(
+            proto="VisualEncoder",
+            backbone="resnet18",
+            output_layer="layer4",
+            permute="batch_first",
+            dropout_out=0.0,
+            visual_projection=dict(in_features=512, out_features=16),
+        )
+    )
+    b, n = 2, 3
+    x = np.random.default_rng(0).normal(size=(b, n, 64, 64, 3)).astype(np.float32)
+    x[1, 2] = 0.0  # padded image
+    images_mask = jnp.asarray([[True, True, True], [True, True, False]])
+    variables = ve.init(
+        jax.random.key(0), jnp.asarray(x), images_mask, method=VisualEncoder.encode
+    )
+    feats, mask = ve.apply(
+        variables, jnp.asarray(x), images_mask, method=VisualEncoder.encode
+    )
+    assert feats.shape == (2, n * 4, 16)  # projected
+    assert mask.shape == (2, n * 4)
+    # padded image's 4 patch tokens are masked out
+    assert not bool(mask[1, -4:].any())
+    assert bool(mask[0].all())

@@ -1,0 +1,7 @@
+from . import vision  # noqa: F401
+from .transformer import (  # noqa: F401
+    TransformerConfig,
+    TransformerDecoder,
+    TransformerEncoder,
+    causal_lm_loss,
+)

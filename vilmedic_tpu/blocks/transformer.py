@@ -1,0 +1,384 @@
+"""BERT-generation-style transformer encoder/decoder in Flax, TPU-first.
+
+Functional replacement for the reference's HuggingFace blocks
+(reference vilmedic/blocks/huggingface/encoder/encoder_model.py:10-66 and
+decoder/decoder_model.py:8-53): a post-LayerNorm transformer with learned absolute
+positions, GELU FFN, and — for the decoder — causal self-attention plus
+cross-attention over an encoder memory, with the HF ``labels=input_ids`` shifted
+LM loss semantics.
+
+TPU-first design points:
+- parameters live in f32, compute dtype is configurable (bf16 on TPU; no loss
+  scaling needed, replacing the reference's AMP GradScaler, trainor.py:96);
+- incremental decoding uses an **explicit cache pytree** passed in/out of
+  ``apply`` (mode='decode'), so the beam-search ``lax.scan`` can gather/reorder
+  cache entries per beam with a plain ``tree_map`` — the functional equivalent of
+  the reference's per-model ``_reorder_cache`` (beam_search.py:312-319);
+- all shapes static: self-attention caches are pre-allocated at ``max_len``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.attention import dot_product_attention, make_attention_bias
+
+Dtype = Any
+
+
+@dataclasses.dataclass(frozen=True)
+class TransformerConfig:
+    vocab_size: int = 30522
+    hidden_size: int = 768
+    num_hidden_layers: int = 12
+    num_attention_heads: int = 12
+    intermediate_size: int = 3072
+    hidden_dropout_prob: float = 0.1
+    attention_probs_dropout_prob: float = 0.1
+    max_position_embeddings: int = 512
+    layer_norm_eps: float = 1e-12
+    pad_token_id: int = 0
+    bos_token_id: Optional[int] = None
+    eos_token_id: Optional[int] = None
+    hidden_act: str = "gelu"
+    initializer_range: float = 0.02
+    add_cross_attention: bool = False
+    dtype: Any = jnp.float32
+
+    @classmethod
+    def from_dict(cls, d: Dict, **overrides) -> "TransformerConfig":
+        """Build from a (HF-style) config dict, ignoring unknown keys — the config
+        surface accepts full HF decoder blocks (reference config/RRG/baseline-mimic.yml)."""
+        from ..config.config import Config
+
+        if isinstance(d, Config):
+            d = d.to_dict()
+        known = {f.name for f in dataclasses.fields(cls)}
+        kwargs = {k: v for k, v in {**d, **overrides}.items() if k in known}
+        if kwargs.get("dtype") in ("bfloat16", "bf16"):
+            kwargs["dtype"] = jnp.bfloat16
+        elif kwargs.get("dtype") in ("float32", "fp32"):
+            kwargs["dtype"] = jnp.float32
+        return cls(**kwargs)
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_attention_heads
+
+
+def _dense(cfg: TransformerConfig, features: int, name: str) -> nn.Dense:
+    return nn.Dense(
+        features,
+        dtype=cfg.dtype,
+        param_dtype=jnp.float32,
+        kernel_init=nn.initializers.normal(cfg.initializer_range),
+        name=name,
+    )
+
+
+class MultiHeadAttention(nn.Module):
+    """Self- or cross-attention with optional pre-allocated decode cache.
+
+    NOTE: attention-probability dropout (reference BERT blocks) is folded away —
+    only the residual-path hidden dropout is applied; this changes training noise
+    slightly but never eval behavior.
+    """
+
+    config: TransformerConfig
+    cross: bool = False
+
+    def setup(self):
+        cfg = self.config
+        self.q_proj = _dense(cfg, cfg.hidden_size, "q")
+        self.k_proj = _dense(cfg, cfg.hidden_size, "k")
+        self.v_proj = _dense(cfg, cfg.hidden_size, "v")
+        self.o_proj = _dense(cfg, cfg.hidden_size, "o")
+
+    def _split(self, x):
+        b, t, _ = x.shape
+        cfg = self.config
+        return x.reshape(b, t, cfg.num_attention_heads, cfg.head_dim)
+
+    def _merge(self, x):
+        b, t, _, _ = x.shape
+        return x.reshape(b, t, self.config.hidden_size)
+
+    def kv(self, kv_input: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Project an encoder memory to (K, V) once — the cross-attention cache."""
+        return self._split(self.k_proj(kv_input)), self._split(self.v_proj(kv_input))
+
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        kv_input: Optional[jnp.ndarray] = None,
+        bias: Optional[jnp.ndarray] = None,
+        cache: Optional[Dict[str, jnp.ndarray]] = None,
+        decode_index: Optional[jnp.ndarray] = None,
+    ):
+        q = self._split(self.q_proj(x))
+        new_cache = None
+        if self.cross:
+            if cache is not None:
+                k, v = cache["k"], cache["v"]
+            else:
+                k, v = self.kv(kv_input)
+        else:
+            k_new = self._split(self.k_proj(x))
+            v_new = self._split(self.v_proj(x))
+            if cache is not None:
+                # Incremental decode: write this step's K/V at decode_index.
+                idx = decode_index.astype(jnp.int32)
+                k = jax.lax.dynamic_update_slice(
+                    cache["k"], k_new.astype(cache["k"].dtype), (0, idx, 0, 0)
+                )
+                v = jax.lax.dynamic_update_slice(
+                    cache["v"], v_new.astype(cache["v"].dtype), (0, idx, 0, 0)
+                )
+                new_cache = {"k": k, "v": v}
+            else:
+                k, v = k_new, v_new
+        out = dot_product_attention(q, k, v, bias=bias, dtype=self.config.dtype)
+        return self.o_proj(self._merge(out)), new_cache
+
+
+class FeedForward(nn.Module):
+    config: TransformerConfig
+
+    @nn.compact
+    def __call__(self, x, deterministic=True):
+        cfg = self.config
+        h = _dense(cfg, cfg.intermediate_size, "fc1")(x)
+        h = nn.gelu(h, approximate=False) if cfg.hidden_act == "gelu" else nn.relu(h)
+        h = _dense(cfg, cfg.hidden_size, "fc2")(h)
+        return nn.Dropout(cfg.hidden_dropout_prob)(h, deterministic=deterministic)
+
+
+class Embeddings(nn.Module):
+    config: TransformerConfig
+
+    @nn.compact
+    def __call__(self, input_ids, position_ids, deterministic=True):
+        cfg = self.config
+        word = nn.Embed(
+            cfg.vocab_size,
+            cfg.hidden_size,
+            dtype=cfg.dtype,
+            param_dtype=jnp.float32,
+            embedding_init=nn.initializers.normal(cfg.initializer_range),
+            name="word_embeddings",
+        )(input_ids)
+        pos = nn.Embed(
+            cfg.max_position_embeddings,
+            cfg.hidden_size,
+            dtype=cfg.dtype,
+            param_dtype=jnp.float32,
+            embedding_init=nn.initializers.normal(cfg.initializer_range),
+            name="position_embeddings",
+        )(position_ids)
+        h = word + pos
+        h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=cfg.dtype, name="ln")(h)
+        return nn.Dropout(cfg.hidden_dropout_prob)(h, deterministic=deterministic)
+
+
+class EncoderLayer(nn.Module):
+    config: TransformerConfig
+
+    def setup(self):
+        cfg = self.config
+        self.self_attn = MultiHeadAttention(cfg, cross=False, name="self_attn")
+        self.self_ln = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=cfg.dtype, name="self_ln")
+        self.ffn = FeedForward(cfg, name="ffn")
+        self.ffn_ln = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=cfg.dtype, name="ffn_ln")
+        self.dropout = nn.Dropout(cfg.hidden_dropout_prob)
+
+    def __call__(self, x, bias=None, deterministic=True):
+        attn, _ = self.self_attn(x, bias=bias)
+        x = self.self_ln(x + self.dropout(attn, deterministic=deterministic))
+        x = self.ffn_ln(x + self.ffn(x, deterministic=deterministic))
+        return x
+
+
+class DecoderLayer(nn.Module):
+    config: TransformerConfig
+
+    def setup(self):
+        cfg = self.config
+        self.self_attn = MultiHeadAttention(cfg, cross=False, name="self_attn")
+        self.self_ln = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=cfg.dtype, name="self_ln")
+        self.cross_attn = MultiHeadAttention(cfg, cross=True, name="cross_attn")
+        self.cross_ln = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=cfg.dtype, name="cross_ln")
+        self.ffn = FeedForward(cfg, name="ffn")
+        self.ffn_ln = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=cfg.dtype, name="ffn_ln")
+        self.dropout = nn.Dropout(cfg.hidden_dropout_prob)
+
+    def __call__(
+        self,
+        x,
+        enc_hidden=None,
+        self_bias=None,
+        cross_bias=None,
+        deterministic=True,
+        self_cache=None,
+        cross_cache=None,
+        decode_index=None,
+    ):
+        attn, new_self_cache = self.self_attn(
+            x, bias=self_bias, cache=self_cache, decode_index=decode_index
+        )
+        x = self.self_ln(x + self.dropout(attn, deterministic=deterministic))
+        cross, _ = self.cross_attn(
+            x, kv_input=enc_hidden, bias=cross_bias, cache=cross_cache
+        )
+        x = self.cross_ln(x + self.dropout(cross, deterministic=deterministic))
+        x = self.ffn_ln(x + self.ffn(x, deterministic=deterministic))
+        return x, new_self_cache
+
+
+class TransformerEncoder(nn.Module):
+    """Bidirectional text encoder (reference EncoderModel / BertGenerationEncoder)."""
+
+    config: TransformerConfig
+
+    def setup(self):
+        cfg = self.config
+        self.embeddings = Embeddings(cfg, name="embeddings")
+        self.layers = [
+            EncoderLayer(cfg, name=f"layer_{i}") for i in range(cfg.num_hidden_layers)
+        ]
+
+    def __call__(self, input_ids, attention_mask=None, deterministic=True):
+        t = input_ids.shape[1]
+        positions = jnp.arange(t)[None, :]
+        h = self.embeddings(input_ids, positions, deterministic=deterministic)
+        bias = make_attention_bias(key_mask=attention_mask, query_len=t, key_len=t)
+        for layer in self.layers:
+            h = layer(h, bias=bias, deterministic=deterministic)
+        return h
+
+
+class TransformerDecoder(nn.Module):
+    """Causal decoder with cross-attention and LM head.
+
+    Three modes:
+    - ``mode='train'``: full-sequence teacher forcing -> logits (B, T, V);
+    - ``mode='init_cache'``: build the decode cache — zeroed self K/V at
+      ``max_len`` plus precomputed cross K/V from the encoder memory;
+    - ``mode='decode'``: one-token step at ``decode_index`` with cache in/out.
+    """
+
+    config: TransformerConfig
+
+    def setup(self):
+        cfg = self.config
+        self.embeddings = Embeddings(cfg, name="embeddings")
+        self.layers = [
+            DecoderLayer(cfg, name=f"layer_{i}") for i in range(cfg.num_hidden_layers)
+        ]
+        self.lm_head = _dense(cfg, cfg.vocab_size, "lm_head")
+
+    def __call__(
+        self,
+        input_ids=None,
+        attention_mask=None,
+        encoder_hidden_states=None,
+        encoder_attention_mask=None,
+        deterministic: bool = True,
+        mode: str = "train",
+        cache=None,
+        decode_index=None,
+        max_len: Optional[int] = None,
+    ):
+        cfg = self.config
+
+        if mode == "init_cache":
+            b = encoder_hidden_states.shape[0]
+            self_shape = (b, max_len, cfg.num_attention_heads, cfg.head_dim)
+            layers_cache = []
+            for layer in self.layers:
+                ck, cv = layer.cross_attn.kv(encoder_hidden_states.astype(cfg.dtype))
+                layers_cache.append(
+                    {
+                        "self_k": jnp.zeros(self_shape, cfg.dtype),
+                        "self_v": jnp.zeros(self_shape, cfg.dtype),
+                        "cross_k": ck,
+                        "cross_v": cv,
+                    }
+                )
+            return tuple(layers_cache)
+
+        if mode == "decode":
+            # input_ids: (B, 1); cache: tuple of per-layer dicts; decode_index: scalar
+            positions = jnp.full((1, 1), 0, jnp.int32) + decode_index
+            h = self.embeddings(input_ids, positions, deterministic=True)
+            max_len = cache[0]["self_k"].shape[1]
+            self_bias = make_attention_bias(
+                causal=True, key_len=max_len, decode_index=decode_index
+            )
+            cross_bias = make_attention_bias(key_mask=encoder_attention_mask)
+            new_cache = []
+            for layer, layer_cache in zip(self.layers, cache):
+                h, new_self = layer(
+                    h,
+                    self_bias=self_bias,
+                    cross_bias=cross_bias,
+                    deterministic=True,
+                    self_cache={"k": layer_cache["self_k"], "v": layer_cache["self_v"]},
+                    cross_cache={"k": layer_cache["cross_k"], "v": layer_cache["cross_v"]},
+                    decode_index=decode_index,
+                )
+                new_cache.append(
+                    {
+                        "self_k": new_self["k"],
+                        "self_v": new_self["v"],
+                        "cross_k": layer_cache["cross_k"],
+                        "cross_v": layer_cache["cross_v"],
+                    }
+                )
+            logits = self.lm_head(h).astype(jnp.float32)
+            return logits, tuple(new_cache)
+
+        # train / teacher-forced eval
+        t = input_ids.shape[1]
+        positions = jnp.arange(t)[None, :]
+        h = self.embeddings(input_ids, positions, deterministic=deterministic)
+        self_bias = make_attention_bias(
+            key_mask=attention_mask, causal=True, query_len=t, key_len=t
+        )
+        cross_bias = make_attention_bias(key_mask=encoder_attention_mask)
+        for layer in self.layers:
+            h, _ = layer(
+                h,
+                enc_hidden=encoder_hidden_states.astype(cfg.dtype)
+                if encoder_hidden_states is not None
+                else None,
+                self_bias=self_bias,
+                cross_bias=cross_bias,
+                deterministic=deterministic,
+            )
+        return self.lm_head(h).astype(jnp.float32)
+
+
+def causal_lm_loss(
+    logits: jnp.ndarray,
+    labels: jnp.ndarray,
+    label_mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """HF ``labels=input_ids`` semantics: predict token t+1 from prefix <= t
+    (reference decoder_model.py:46) — but masked by the attention mask so padding
+    never contributes to the loss (a deliberate improvement over the reference,
+    which feeds unmasked pad labels into CrossEntropyLoss)."""
+    shift_logits = logits[:, :-1, :]
+    shift_labels = labels[:, 1:]
+    log_probs = jax.nn.log_softmax(shift_logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(log_probs, shift_labels[..., None].astype(jnp.int32), axis=-1)
+    nll = nll.squeeze(-1)
+    if label_mask is not None:
+        mask = label_mask[:, 1:].astype(jnp.float32)
+    else:
+        mask = jnp.ones_like(nll)
+    return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1.0)

@@ -1,0 +1,78 @@
+"""Flax Vision Transformer (patch embed + CLS token + transformer encoder).
+
+Architectural parity with the HF ``ViTModel`` path in the reference
+(reference visual_encoder.py:56-58): returns the last hidden state
+(B, 1 + num_patches, D) with no permute applied downstream.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..transformer import EncoderLayer, TransformerConfig
+
+
+class ViT(nn.Module):
+    hidden_size: int = 768
+    num_hidden_layers: int = 12
+    num_attention_heads: int = 12
+    intermediate_size: int = 3072
+    patch_size: int = 16
+    image_size: int = 224
+    hidden_dropout_prob: float = 0.0
+    layer_norm_eps: float = 1e-12
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        cfg = TransformerConfig(
+            vocab_size=1,
+            hidden_size=self.hidden_size,
+            num_hidden_layers=self.num_hidden_layers,
+            num_attention_heads=self.num_attention_heads,
+            intermediate_size=self.intermediate_size,
+            hidden_dropout_prob=self.hidden_dropout_prob,
+            layer_norm_eps=self.layer_norm_eps,
+            dtype=self.dtype,
+        )
+        b = x.shape[0]
+        # Patchify: conv with patch-size kernel/stride (MXU-friendly big matmul).
+        x = nn.Conv(
+            self.hidden_size,
+            (self.patch_size, self.patch_size),
+            strides=(self.patch_size, self.patch_size),
+            padding="VALID",
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="patch_embed",
+        )(x)
+        x = x.reshape(b, -1, self.hidden_size)
+
+        cls = self.param(
+            "cls_token", nn.initializers.zeros, (1, 1, self.hidden_size), jnp.float32
+        )
+        x = jnp.concatenate([jnp.tile(cls.astype(self.dtype), (b, 1, 1)), x], axis=1)
+        num_tokens = x.shape[1]
+        pos = self.param(
+            "pos_embed",
+            nn.initializers.normal(0.02),
+            (1, num_tokens, self.hidden_size),
+            jnp.float32,
+        )
+        x = x + pos.astype(self.dtype)
+        x = nn.Dropout(self.hidden_dropout_prob)(x, deterministic=not train)
+        for i in range(self.num_hidden_layers):
+            x = EncoderLayer(cfg, name=f"layer_{i}")(x, deterministic=not train)
+        x = nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype, name="ln_final")(x)
+        return x
+
+
+def make_vit(backbone: str, output_layer=None, dtype=jnp.float32, **kwargs) -> ViT:
+    known = {
+        "hidden_size", "num_hidden_layers", "num_attention_heads", "intermediate_size",
+        "patch_size", "image_size", "hidden_dropout_prob", "layer_norm_eps",
+    }
+    return ViT(dtype=dtype, **{k: v for k, v in kwargs.items() if k in known})

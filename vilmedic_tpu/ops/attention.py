@@ -1,0 +1,78 @@
+"""Attention compute ops.
+
+The framework's transformer blocks route all attention through this module so the
+implementation can be swapped per-backend: a plain-XLA einsum path (which XLA fuses
+onto the MXU well at these sequence lengths — reports are <= 128 tokens, vision
+memories are O(10^2-10^3) patches, reference SURVEY.md §2.3), and a Pallas
+flash-attention kernel for long multi-image token axes.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+
+NEG_INF = -1e9  # additive mask value; safe in f32 and bf16
+
+
+def _softmax_f32(x: jnp.ndarray) -> jnp.ndarray:
+    x = x.astype(jnp.float32)
+    m = jnp.max(x, axis=-1, keepdims=True)
+    unnorm = jnp.exp(x - m)
+    return unnorm / jnp.sum(unnorm, axis=-1, keepdims=True)
+
+
+def dot_product_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    bias: Optional[jnp.ndarray] = None,
+    dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Scaled dot-product attention.
+
+    q: (B, Tq, H, Dh), k/v: (B, Tk, H, Dh), bias broadcastable to (B, H, Tq, Tk).
+    Scores and softmax are computed in f32 for stability regardless of compute dtype.
+    """
+    depth = q.shape[-1]
+    q = q * (depth ** -0.5)
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+    if bias is not None:
+        scores = scores + bias
+    weights = _softmax_f32(scores).astype(dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", weights, v)
+
+
+def mask_to_bias(mask: jnp.ndarray) -> jnp.ndarray:
+    """(…, Tq, Tk) boolean/0-1 mask -> additive bias (0 keep / NEG_INF drop)."""
+    return jnp.where(mask > 0, 0.0, NEG_INF).astype(jnp.float32)
+
+
+def make_attention_bias(
+    key_mask: Optional[jnp.ndarray] = None,
+    causal: bool = False,
+    query_len: Optional[int] = None,
+    key_len: Optional[int] = None,
+    decode_index: Optional[jnp.ndarray] = None,
+) -> Optional[jnp.ndarray]:
+    """Build a (B, 1, Tq, Tk) additive bias from a key padding mask and causality.
+
+    During incremental decoding (Tq == 1) ``decode_index`` gives the absolute
+    position of the query so the causal constraint becomes "attend to k <= index".
+    """
+    bias = None
+    if key_mask is not None:
+        bias = mask_to_bias(key_mask[:, None, None, :])
+    if causal:
+        if decode_index is not None:
+            positions = jnp.arange(key_len)[None, None, None, :]
+            causal_bias = jnp.where(positions <= decode_index, 0.0, NEG_INF)
+        else:
+            tq = query_len
+            tk = key_len if key_len is not None else tq
+            row = jnp.arange(tq)[:, None]
+            col = jnp.arange(tk)[None, :]
+            causal_bias = jnp.where(col <= row, 0.0, NEG_INF)[None, None, :, :]
+        bias = causal_bias if bias is None else bias + causal_bias
+    return bias
