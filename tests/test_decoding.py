@@ -1,0 +1,133 @@
+"""Decoding tests against brute-force references on toy stateless models."""
+
+import itertools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vilmedic_tpu.decoding import beam_search, greedy_search, sample, tile_for_beams
+
+BOS, EOS, PAD = 0, 1, 2
+VOCAB = 6
+MAX_LEN = 6
+
+
+def _toy_step_fn(table):
+    """Next-token logits depend only on the current token (Markov table)."""
+    table = jnp.asarray(table, jnp.float32)
+
+    def step_fn(tokens, caches, index):
+        logits = table[tokens[:, 0]]
+        return logits, caches
+
+    return step_fn
+
+
+def _brute_force_beam(table, length_penalty=1.0):
+    """Exhaustive search replicating HF scoring: sum logp / len**alpha, hyp
+    length counted incl. BOS, excl. EOS."""
+    logp = np.log(np.exp(table) / np.exp(table).sum(-1, keepdims=True))
+    best_score, best_seq = -1e9, None
+    # enumerate token sequences up to MAX_LEN-1 generated tokens
+    for n in range(1, MAX_LEN):
+        for seq in itertools.product(range(VOCAB), repeat=n):
+            score = 0.0
+            prev = BOS
+            ok = True
+            for t_i, tok in enumerate(seq):
+                score += logp[prev, tok]
+                prev = tok
+                if tok == EOS:
+                    if t_i != len(seq) - 1:
+                        ok = False
+                    break
+            if not ok:
+                continue
+            if seq[-1] == EOS:
+                hyp_len = len(seq)  # includes BOS (1) + (n-1) tokens before EOS
+                norm = score / (hyp_len ** length_penalty)
+            elif n == MAX_LEN - 1:
+                norm = score / (MAX_LEN ** length_penalty)
+            else:
+                continue
+            if norm > best_score:
+                best_score, best_seq = norm, (BOS,) + seq
+    return best_score, best_seq
+
+
+def test_greedy_matches_argmax_chain():
+    rng = np.random.default_rng(0)
+    table = rng.normal(size=(VOCAB, VOCAB)).astype(np.float32)
+    table[:, PAD] = -100.0  # never pick pad
+    step = _toy_step_fn(table)
+    out = greedy_search(step, {}, batch_size=2, max_len=MAX_LEN,
+                        bos_id=BOS, eos_id=EOS, pad_id=PAD, forced_eos=False)
+    seqs = np.asarray(out.sequences)
+    # manual argmax chain
+    for row in seqs:
+        prev = row[0]
+        for tok in row[1:]:
+            if prev == EOS or tok == PAD:
+                break
+            assert tok == int(np.argmax(table[prev]))
+            prev = tok
+
+
+def test_beam_matches_brute_force():
+    rng = np.random.default_rng(3)
+    for trial in range(3):
+        table = rng.normal(size=(VOCAB, VOCAB)).astype(np.float32) * 2.0
+        table[:, PAD] = -100.0
+        table[:, BOS] = -100.0
+        lp = [0.5, 1.0, 2.0][trial]
+        step = _toy_step_fn(table)
+        result = beam_search(
+            step, {}, batch_size=1, beam_size=VOCAB * 2, max_len=MAX_LEN,
+            bos_id=BOS, eos_id=EOS, pad_id=PAD, length_penalty=lp,
+        )
+        expected_score, expected_seq = _brute_force_beam(table, lp)
+        got = np.asarray(result.sequences[0])
+        got_trimmed = tuple(t for t in got if t != PAD)
+        assert result.scores[0] == np.float32(result.scores[0])
+        np.testing.assert_allclose(float(result.scores[0]), expected_score, rtol=1e-4)
+        assert got_trimmed == expected_seq, (got_trimmed, expected_seq, trial)
+
+
+def test_beam_batch_and_tile():
+    rng = np.random.default_rng(1)
+    table = rng.normal(size=(VOCAB, VOCAB)).astype(np.float32)
+    table[:, PAD] = -100.0
+    k = 3
+    # caches with a per-item payload to check tiling+gather don't crash
+    caches = {"payload": jnp.arange(2 * 10, dtype=jnp.float32).reshape(2, 10)}
+    tiled = tile_for_beams(caches, k)
+    assert tiled["payload"].shape == (2 * k, 10)
+    result = beam_search(
+        _toy_step_fn(table), tiled, batch_size=2, beam_size=k, max_len=MAX_LEN,
+        bos_id=BOS, eos_id=EOS, pad_id=PAD,
+    )
+    assert result.sequences.shape == (2, MAX_LEN)
+    # batch items are independent: same table -> same best sequence
+    assert np.array_equal(result.sequences[0], result.sequences[1])
+
+
+def test_sample_respects_bad_words_and_eos():
+    rng = np.random.default_rng(2)
+    table = rng.normal(size=(VOCAB, VOCAB)).astype(np.float32)
+    out = sample(
+        _toy_step_fn(table), {}, batch_size=4, max_len=MAX_LEN,
+        bos_id=BOS, eos_id=EOS, pad_id=PAD, rng=jax.random.key(0),
+        bad_words=(PAD, BOS), top_k=4,
+    )
+    seqs = np.asarray(out.sequences)
+    for row in seqs:
+        gen = row[1:]
+        # no BOS afterwards; PAD only after EOS
+        assert BOS not in gen
+        if EOS in gen:
+            eos_pos = list(gen).index(EOS)
+            assert all(t == PAD for t in gen[eos_pos + 1:])
+    # forced eos: every row terminates
+    lengths = np.asarray(out.lengths)
+    assert (lengths <= MAX_LEN).all() and (lengths >= 2).all()
