@@ -1,0 +1,86 @@
+"""NLG scorer tests: BLEU/ROUGE/CIDEr-D/METEOR sanity and contract checks."""
+
+import numpy as np
+import pytest
+
+from vilmedic_tpu.scorers import Bleu, CiderD, Meteor, Rouge, RougeL
+
+
+REFS = [
+    "there is no evidence of pneumonia .",
+    "heart size is normal .",
+    "small left pleural effusion .",
+]
+HYPS_PERFECT = list(REFS)
+HYPS_PARTIAL = [
+    "there is no pneumonia .",
+    "the heart size is enlarged .",
+    "no pleural effusion .",
+]
+
+
+def test_bleu_perfect_and_partial():
+    score, per = Bleu()(REFS, HYPS_PERFECT)
+    assert score == pytest.approx(1.0, abs=1e-6)
+    assert len(per) == 3 and all(p == pytest.approx(1.0, abs=1e-6) for p in per)
+
+    score2, per2 = Bleu()(REFS, HYPS_PARTIAL)
+    assert 0 < score2 < 1
+    assert all(0 <= p <= 1 for p in per2)
+
+
+def test_bleu_brevity_penalty():
+    refs = ["a b c d e f g h"]
+    short = ["a b c d"]
+    long_ = ["a b c d e f g h"]
+    s_short, _ = Bleu()(refs, short)
+    s_long, _ = Bleu()(refs, long_)
+    assert s_short < s_long
+
+
+def test_rouge_wrapper():
+    score, per = RougeL()(REFS, HYPS_PARTIAL)
+    assert 0 < score < 1 and len(per) == 3
+    # identical -> 1.0
+    score_p, _ = RougeL()(REFS, HYPS_PERFECT)
+    assert score_p == pytest.approx(1.0)
+
+
+def test_ciderd_identity_corpus():
+    score, per = CiderD()(REFS, HYPS_PERFECT)
+    assert score == pytest.approx(10.0, abs=1e-6)
+    assert np.allclose(per, 10.0)
+    score2, _ = CiderD()(REFS, HYPS_PARTIAL)
+    assert score2 < 10.0
+
+
+def test_meteor_monotonic():
+    s_perfect, per = Meteor()(REFS, HYPS_PERFECT)
+    s_partial, _ = Meteor()(REFS, HYPS_PARTIAL)
+    assert s_perfect > s_partial > 0
+    assert s_perfect == pytest.approx(1.0, abs=0.01)
+    assert len(per) == 3
+
+
+def test_compute_scores_dispatch(tmp_path):
+    import logging
+
+    from vilmedic_tpu.scorers import compute_scores
+    from vilmedic_tpu.utils import set_logger
+
+    logger = set_logger(str(tmp_path), "123456")
+    scores = compute_scores(
+        metrics=["BLEU", "ROUGEL", "CIDERD", "radgraph"],  # radgraph -> isolated None
+        refs=REFS,
+        hyps=HYPS_PARTIAL,
+        split="validate",
+        seed="123456",
+        config=None,
+        epoch=0,
+        logger=logger,
+    )
+    assert "BLEU" in scores and "ROUGEL" in scores
+    assert scores["radgraph"] is None  # error-isolated, not raised
+    assert (tmp_path / "validate_123456_refs.txt").exists()
+    assert (tmp_path / "validate_123456_hyps.txt").exists()
+    assert (tmp_path / "validate_123456_metrics.txt").exists()

@@ -1,0 +1,155 @@
+"""End-to-end slice: tiny RRG trains, evaluates with beam search, checkpoints.
+
+Exercises config -> data -> model -> jitted train step -> beam decode -> metrics,
+the reference's core pipeline (SURVEY.md §7 step 4), on an 8-device CPU mesh.
+"""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from vilmedic_tpu.config import Config
+from vilmedic_tpu.executors import Trainor, Validator
+from vilmedic_tpu.utils import set_logger
+
+REPORTS = [
+    "no acute disease .",
+    "heart size is normal .",
+    "small pleural effusion .",
+    "no evidence of pneumonia .",
+    "lungs are clear .",
+    "mild cardiomegaly .",
+    "no acute disease .",
+    "lungs are clear .",
+]
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("rrg_e2e")
+    rng = np.random.default_rng(0)
+    paths = []
+    for i in range(len(REPORTS)):
+        arr = rng.integers(0, 255, (48, 48, 3), dtype=np.uint8)
+        p = root / f"im{i}.jpg"
+        Image.fromarray(arr).save(p)
+        paths.append(str(p))
+    for split in ("train", "validate"):
+        (root / f"{split}.report.tok").write_text("\n".join(REPORTS))
+        (root / f"{split}.image.tok").write_text("\n".join(paths))
+    return root
+
+
+def _config(root, ckpt_dir):
+    return Config(
+        {
+            "ckpt_dir": str(ckpt_dir),
+            "dataset": {
+                "proto": "ImSeq",
+                "image": {
+                    "root": str(root),
+                    "file": "image.tok",
+                    "resize": 40,
+                    "crop": 32,
+                    "ext": ".jpg",
+                },
+                "seq": {
+                    "root": str(root),
+                    "file": "report.tok",
+                    "source": "tgt",
+                    "tokenizer_max_len": 12,
+                    "processing": "r2gen_clean_report",
+                },
+                "num_workers": 0,
+            },
+            "model": {
+                "proto": "RRG",
+                "decoder": {
+                    "proto": None,
+                    "hidden_size": 32,
+                    "num_hidden_layers": 1,
+                    "num_attention_heads": 4,
+                    "intermediate_size": 64,
+                    "hidden_dropout_prob": 0.1,
+                    "max_position_embeddings": 64,
+                },
+                "cnn": {
+                    "proto": "VisualEncoder",
+                    "backbone": "vit",
+                    "permute": "no_permute",
+                    "hidden_size": 32,
+                    "num_hidden_layers": 1,
+                    "num_attention_heads": 4,
+                    "intermediate_size": 64,
+                    "patch_size": 16,
+                },
+            },
+            "batch_size": 4,
+            "optimizer": "Adam",
+            "optim_params": {"lr": 1e-3},
+            "lr_decay": "ReduceLROnPlateau",
+            "lr_decay_params": {"factor": 0.5, "patience": 1},
+            "epochs": 1,
+            "early_stop": 5,
+            "eval_start": 0,
+            "early_stop_metric": "BLEU",
+            "beam_width": 2,
+            "metrics": ["BLEU", "ROUGEL"],
+            "splits": ["validate"],
+        }
+    )
+
+
+def test_rrg_end_to_end(workdir, tmp_path):
+    ckpt_dir = tmp_path / "ckpt"
+    ckpt_dir.mkdir()
+    config = _config(workdir, ckpt_dir)
+    seed = 424242
+    set_logger(str(ckpt_dir), seed)
+
+    trainor = Trainor(config=config, seed=seed)
+    evaluator = Validator(
+        config=config, models=[trainor.model], train_dl=trainor.dl,
+        seed=seed, from_training=True,
+    )
+    trainor.evaluator = evaluator
+    trainor.start()
+
+    # one epoch trained, evaluated, scored, checkpointed
+    assert len(evaluator.scores) == 1
+    scores = evaluator.scores[0]
+    assert "BLEU" in scores and "ROUGEL" in scores
+    assert 0.0 <= scores["BLEU"] <= 1.0
+    ckpts = glob.glob(str(ckpt_dir / "*.ckpt"))
+    assert len(ckpts) == 1, ckpts  # best-only: previous best deleted
+    # epochs=1 runs epochs {0, 1} (reference trainor.py:86 range semantics)
+    assert f"_{seed}" in ckpts[0] and "_2_" in ckpts[0]
+    assert trainor.training_scheduler.iteration_count == 4  # 2 epochs x 2 steps
+
+
+def test_checkpoint_roundtrip(workdir, tmp_path):
+    from vilmedic_tpu.executors.checkpoint import load_checkpoint, restore_into
+
+    ckpt_dir = tmp_path / "ckpt2"
+    ckpt_dir.mkdir()
+    config = _config(workdir, ckpt_dir)
+    config["epochs"] = 1
+    seed = 424243
+    set_logger(str(ckpt_dir), seed)
+    trainor = Trainor(config=config, seed=seed)
+    evaluator = Validator(
+        config=config, models=[trainor.model], train_dl=trainor.dl,
+        seed=seed, from_training=True,
+    )
+    trainor.evaluator = evaluator
+    trainor.start()
+
+    ckpt = glob.glob(str(ckpt_dir / "*.ckpt"))[0]
+    state = load_checkpoint(ckpt)
+    assert state["config"]["model"]["proto"] == "RRG"
+    restored = restore_into(trainor.model.variables, state["model"])
+    leaf = next(iter(restored["params"].values()))
+    assert leaf is not None

@@ -1,0 +1,108 @@
+"""Train state + optimizer factory.
+
+Replaces the reference's torch optimizer factory
+(reference vilmedic/executors/utils.py:65-94 ``create_optimizer``: any
+``torch.optim.*`` by config name): the same config surface
+(``optimizer: RAdam`` + ``optim_params``) maps onto optax aliases. The learning
+rate is wrapped with ``optax.inject_hyperparams`` so the host-side
+TrainingScheduler can drive it without recompiling the jitted step — the
+functional analog of mutating torch param groups.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional
+
+import flax.struct
+import jax.numpy as jnp
+import optax
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    batch_stats: Any  # {} when the model has no BatchNorm
+
+
+_OPTIMIZERS: Dict[str, Callable] = {
+    "adam": optax.adam,
+    "adamw": optax.adamw,
+    "radam": optax.radam,
+    "sgd": optax.sgd,
+    "rmsprop": optax.rmsprop,
+    "adagrad": optax.adagrad,
+    "adadelta": optax.adadelta,
+    "adafactor": optax.adafactor,
+    "lamb": optax.lamb,
+    "lion": optax.lion,
+}
+
+# torch optim_params -> optax kwarg translation
+_PARAM_MAP = {
+    "betas": None,  # expanded to b1/b2
+    "eps": "eps",
+    "weight_decay": "weight_decay",
+    "momentum": "momentum",
+    "nesterov": "nesterov",
+}
+
+
+def _translate_params(name: str, params: Dict) -> Dict:
+    out = {}
+    for k, v in params.items():
+        if k in ("lr", "learning_rate"):
+            continue
+        if k == "betas":
+            out["b1"], out["b2"] = float(v[0]), float(v[1])
+        elif k == "weight_decay":
+            # optax sgd/rmsprop aliases have no weight_decay arg; additive decay
+            # handled by the chain below for those.
+            if name in ("adamw", "adam", "radam", "lamb", "lion", "adamax"):
+                out["weight_decay"] = float(v)
+            else:
+                out["_additive_weight_decay"] = float(v)
+        elif k in _PARAM_MAP and _PARAM_MAP[k]:
+            out[_PARAM_MAP[k]] = v
+        # silently drop torch-only knobs (amsgrad, foreach, ...)
+    return out
+
+
+def create_optimizer(
+    optimizer: str,
+    optim_params: Dict,
+    clip_grad_norm: Optional[float] = None,
+) -> optax.GradientTransformation:
+    name = optimizer.lower()
+    if name not in _OPTIMIZERS:
+        raise NotImplementedError(
+            f"Optimizer {optimizer!r}; available: {sorted(_OPTIMIZERS)}"
+        )
+    base_lr = float(optim_params.get("lr", optim_params.get("learning_rate")))
+    kwargs = _translate_params(name, dict(optim_params))
+    additive_wd = kwargs.pop("_additive_weight_decay", None)
+    alias = _OPTIMIZERS[name]
+
+    # `adam` with weight_decay behaves like torch Adam(weight_decay=..) -> L2
+    if name == "adam" and "weight_decay" in kwargs:
+        additive_wd = kwargs.pop("weight_decay")
+
+    def factory(learning_rate):
+        parts = []
+        if clip_grad_norm is not None:
+            parts.append(optax.clip_by_global_norm(float(clip_grad_norm)))
+        if additive_wd:
+            parts.append(optax.add_decayed_weights(additive_wd))
+        parts.append(alias(learning_rate=learning_rate, **kwargs))
+        return optax.chain(*parts)
+
+    return optax.inject_hyperparams(factory)(learning_rate=base_lr)
+
+
+def set_learning_rate(opt_state, lr):
+    """Inject a (possibly traced) learning rate into an inject_hyperparams state."""
+    hyperparams = dict(opt_state.hyperparams)
+    hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+    replace = getattr(opt_state, "replace", None) or opt_state._replace
+    return replace(hyperparams=hyperparams)

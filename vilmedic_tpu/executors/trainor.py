@@ -1,0 +1,271 @@
+"""Trainor: the training executor — one jitted SPMD train step + host epoch loop.
+
+Behavioral parity with reference vilmedic/executors/trainor.py:84-203:
+- epoch loop with gradient accumulation (optimizer step every ``grad_accu``
+  iterations, grads summed — not averaged — like successive ``backward`` calls),
+- NaN/Inf-loss skip with accumulated-grad reset (:109-112),
+- clip-grad-norm folded into the optax chain,
+- eval gating (``eval_start``/``early_stop_start``/``decay_metric_start``),
+- early stopping on training loss or a validator metric, best-only checkpointing.
+
+TPU-first design:
+- loss+grad+update is ONE jitted function; the batch is sharded over the mesh's
+  ``data`` axis and XLA inserts the gradient all-reduce over ICI — replacing
+  DataParallel loss.mean() (:105-106) and Accelerate's NCCL backward;
+- mixed precision = bf16 compute dtype, so there is no GradScaler state (:96);
+- the learning rate is a device scalar driven by the host-side TrainingScheduler.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .. import __version__
+from ..config.config import Config
+from ..parallel.mesh import get_mesh, replicate, shard_batch
+from .checkpoint import CheckpointSaver, load_checkpoint
+from .train_state import TrainState, create_optimizer, set_learning_rate
+from .utils import create_data_loader, create_model, create_training_scheduler
+
+
+class Trainor:
+    def __init__(self, config, seed):
+        self.config = config
+        self.seed = seed
+        self.ckpt_dir = config.ckpt_dir
+        self.ckpt = config.get("ckpt")
+
+        self.eval_start = config.get("eval_start", 0)
+        self.decay_metric_start = config.get("decay_metric_start", 0)
+        self.early_stop_start = config.get("early_stop_start", 0)
+        self.grad_accu = int(config.get("grad_accu", 1) or 1)
+        self.clip_grad_norm = config.get("clip_grad_norm")
+
+        self.logger = logging.getLogger(str(seed))
+        self.state_dict = load_checkpoint(self.ckpt) if self.ckpt else None
+
+        self.saver = CheckpointSaver(
+            ckpt_dir=self.ckpt_dir, logger=self.logger, seed=self.seed, ckpt=self.ckpt
+        )
+
+        self.dl = create_data_loader(config, split="train", logger=self.logger)
+        self.model = create_model(
+            config, dl=self.dl, logger=self.logger, from_training=True,
+            state_dict=self.state_dict, seed=seed,
+        )
+
+        optim_params = config.get("optim_params") or {}
+        if isinstance(optim_params, Config):
+            optim_params = optim_params.to_dict()
+        self.base_lr = float(optim_params.get("lr"))
+        self.tx = create_optimizer(
+            config.get("optimizer", "Adam"), optim_params, self.clip_grad_norm
+        )
+
+        self.training_scheduler = create_training_scheduler(
+            config, self.base_lr, self.logger, state_dict=self.state_dict,
+            total_steps=len(self.dl) * int(config.get("epochs", 1)),
+        )
+
+        # Mesh + state
+        self.mesh = get_mesh()
+        params = self.model.variables["params"]
+        batch_stats = self.model.variables.get("batch_stats", {})
+        opt_state = self.tx.init(params)
+        if self.state_dict is not None and self.state_dict.get("opt_state"):
+            from .checkpoint import restore_into
+
+            opt_state = restore_into(opt_state, self.state_dict["opt_state"])
+        self.state = replicate(
+            TrainState(
+                step=jnp.asarray(0), params=params, opt_state=opt_state,
+                batch_stats=batch_stats,
+            ),
+            self.mesh,
+        )
+        self.rng = jax.random.key(seed)
+        self._build_steps()
+
+        self.evaluator = None  # set by bin/train
+
+    # ------------------------------------------------------------------
+    def _build_steps(self):
+        model, tx = self.model, self.tx
+        grad_accu = self.grad_accu
+
+        def loss_fn(params, batch_stats, batch, rng):
+            variables = {"params": params}
+            if batch_stats:
+                variables["batch_stats"] = batch_stats
+            out, new_stats = model.apply_train(variables, batch, rng, train=True)
+            return out["loss"], (out, new_stats)
+
+        @jax.jit
+        def train_step(state: TrainState, batch, lr, rng):
+            rng = jax.random.fold_in(rng, state.step)
+            (loss, (out, new_stats)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params, state.batch_stats, batch, rng)
+            opt_state = set_learning_rate(state.opt_state, lr)
+            updates, opt_state = tx.update(grads, opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            new_state = state.replace(
+                step=state.step + 1, params=params, opt_state=opt_state,
+                batch_stats=new_stats if new_stats else state.batch_stats,
+            )
+            return new_state, loss
+
+        @jax.jit
+        def grad_step(state: TrainState, batch, rng, grad_acc):
+            rng = jax.random.fold_in(rng, state.step)
+            (loss, (out, new_stats)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params, state.batch_stats, batch, rng)
+            grad_acc = jax.tree.map(jnp.add, grad_acc, grads)
+            new_state = state.replace(
+                step=state.step + 1,
+                batch_stats=new_stats if new_stats else state.batch_stats,
+            )
+            return new_state, loss, grad_acc
+
+        @jax.jit
+        def apply_step(state: TrainState, grads, lr):
+            opt_state = set_learning_rate(state.opt_state, lr)
+            updates, opt_state = tx.update(grads, opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            return state.replace(params=params, opt_state=opt_state)
+
+        self._train_step = train_step
+        self._grad_step = grad_step
+        self._apply_step = apply_step
+
+    def _zero_grads(self):
+        return jax.tree.map(jnp.zeros_like, self.state.params)
+
+    # ------------------------------------------------------------------
+    def start(self):
+        config = self.config
+        scheduler = self.training_scheduler
+        epochs = int(config.epochs)
+
+        for epoch in range(int(scheduler.epoch), epochs + 1):
+            self.dl.set_epoch(epoch)
+            losses = []
+            log = ""
+            grad_acc = self._zero_grads() if self.grad_accu > 1 else None
+            iteration = 0
+
+            for iteration, batch in enumerate(self.dl, start=1):
+                batch = shard_batch(self._model_batch(batch), self.mesh)
+                lr = jnp.asarray(scheduler.current_lr(), jnp.float32)
+
+                if self.grad_accu == 1:
+                    self.state, loss = self._train_step(self.state, batch, lr, self.rng)
+                    loss = float(loss)
+                    if not np.isfinite(loss):
+                        self.logger.warning(
+                            f"NaN/Inf loss at epoch {epoch + 1}, iter {iteration}. Skipping..."
+                        )
+                        continue
+                    losses.append(loss)
+                    scheduler.iteration_step(epoch + iteration / max(1, len(self.dl)))
+                else:
+                    self.state, loss, grad_acc = self._grad_step(
+                        self.state, batch, self.rng, grad_acc
+                    )
+                    loss = float(loss)
+                    if not np.isfinite(loss):
+                        self.logger.warning(
+                            f"NaN/Inf loss at epoch {epoch + 1}, iter {iteration}. Skipping..."
+                        )
+                        grad_acc = self._zero_grads()  # reference :111 zero_grad
+                        continue
+                    losses.append(loss)
+                    if iteration % self.grad_accu == 0:
+                        self.state = self._apply_step(self.state, grad_acc, lr)
+                        grad_acc = self._zero_grads()
+                        scheduler.iteration_step(
+                            epoch + iteration / max(1, len(self.dl))
+                        )
+
+                if iteration % 10 == 0 or iteration == len(self.dl):
+                    avg = float(np.mean(losses)) if losses else float("nan")
+                    log = (
+                        f"Epoch {epoch + 1}, Lr {scheduler.current_lr():.3g}, "
+                        f"Loss {avg:.4f}, {scheduler.early_stop_metric} "
+                        f"{scheduler.current_best_metric:.4g}, ES {scheduler.early_stop}"
+                    )
+
+            # final partial accumulation step (reference :143-155)
+            if self.grad_accu > 1 and iteration % self.grad_accu != 0 and losses:
+                lr = jnp.asarray(scheduler.current_lr(), jnp.float32)
+                self.state = self._apply_step(self.state, grad_acc, lr)
+                scheduler.iteration_step(epoch + 1.0)
+
+            if log:
+                self.logger.info(log)
+            scheduler.epoch_step()
+            self._sync_model_variables()
+
+            # --- evaluation / early stopping (reference :160-203) ----------
+            early_stop_score = None
+            decay_metric = None
+            do_early_stop = epoch + 1 >= self.early_stop_start
+            do_lr_decay = epoch + 1 >= self.decay_metric_start
+            do_eval = epoch + 1 >= self.eval_start
+            training_loss = float(np.mean(losses)) if losses else float("inf")
+
+            early_stop_metric = config.get("early_stop_metric")
+            if early_stop_metric == "training_loss" and do_early_stop:
+                early_stop_score = training_loss
+
+            if do_eval and self.evaluator is not None:
+                self.evaluator.epoch = epoch
+                self.evaluator.start()
+                if early_stop_metric != "training_loss" and do_early_stop:
+                    early_stop_score = float(
+                        np.mean([s[early_stop_metric] for s in self.evaluator.scores])
+                    )
+
+            if do_lr_decay:
+                decay_metric = (
+                    training_loss
+                    if scheduler.decay_on_training_loss
+                    else early_stop_score
+                )
+
+            ret = scheduler.eval_step(
+                decay_metric=decay_metric, early_stop_score=early_stop_score
+            )
+            if ret["save_state"] and jax.process_index() == 0:
+                self.saver.save(
+                    payload={
+                        "model": self.model.variables,
+                        "opt_state": self.state.opt_state,
+                        "training_scheduler": scheduler.state_dict(),
+                        "config": config.to_dict() if hasattr(config, "to_dict") else dict(config),
+                        "__version__": __version__,
+                    },
+                    tag=early_stop_score,
+                    current_epoch=epoch + 1,
+                )
+            if ret["done_training"]:
+                self.logger.info("Early stop reached")
+                return
+
+    # ------------------------------------------------------------------
+    def _model_batch(self, batch):
+        """Keep only array-valued entries the jitted step can consume."""
+        return {k: v for k, v in batch.items() if v is None or hasattr(v, "shape")}
+
+    def _sync_model_variables(self):
+        variables = {"params": self.state.params}
+        if self.state.batch_stats:
+            variables["batch_stats"] = self.state.batch_stats
+        self.model.variables = variables

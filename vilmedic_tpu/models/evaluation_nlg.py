@@ -1,0 +1,121 @@
+"""Model-owned NLG evaluation loop: jitted encode + (ensembling) beam decode.
+
+Parity with the reference eval loops (blocks/huggingface/decoder/evaluation.py:20-85
+single model, evaluation_multi.py:20-89 ensembling): for every batch, run each
+model's encoder, then one beam search whose per-step logits are the **sum of raw
+logits across ensemble members** (reference beam_search.py:254), finally decode
+hypotheses/references with the target tokenizer.
+
+TPU-first: the whole encode+decode for a batch is ONE jitted function with static
+shapes (batch padded up to the configured batch size), compiled once per run.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..decoding import beam_search, greedy_search, tile_for_beams
+from .base import get_special_token_ids
+
+
+def _pad_batch(arr: np.ndarray, target: int) -> np.ndarray:
+    if arr.shape[0] == target:
+        return arr
+    reps = np.repeat(arr[-1:], target - arr.shape[0], axis=0)
+    return np.concatenate([arr, reps], axis=0)
+
+
+def make_generate_fn(models, beam_width, max_len, bos_id, eos_id, pad_id, length_penalty):
+    """Build a jitted ensembling generate over (variables_list, encoder inputs)."""
+    modules = [m.module for m in models]
+    encode_methods = [type(m.module).encode for m in models]
+
+    @jax.jit
+    def generate(variables_list, enc_inputs):
+        batch_size = jax.tree.leaves(enc_inputs)[0].shape[0]
+        states = []
+        for module, method, variables in zip(modules, encode_methods, variables_list):
+            enc_h, enc_m = module.apply(variables, **enc_inputs, method=method)
+            cache = module.apply(
+                variables, enc_h, max_len, method=type(module).init_cache
+            )
+            states.append({"cache": cache, "enc_mask": enc_m.astype(jnp.int32)})
+
+        if beam_width and beam_width > 1:
+            states = tile_for_beams(states, beam_width)
+
+        def step_fn(tokens, states, index):
+            logits_sum = 0.0
+            new_states = []
+            for module, variables, st in zip(modules, variables_list, states):
+                logits, new_cache = module.apply(
+                    variables,
+                    tokens,
+                    st["cache"],
+                    st["enc_mask"],
+                    index,
+                    method=type(module).decode_step,
+                )
+                logits_sum = logits_sum + logits[:, -1].astype(jnp.float32)
+                new_states.append({"cache": new_cache, "enc_mask": st["enc_mask"]})
+            return logits_sum, new_states
+
+        if beam_width and beam_width > 1:
+            result = beam_search(
+                step_fn, states, batch_size, beam_width, max_len,
+                bos_id, eos_id, pad_id, length_penalty=length_penalty,
+            )
+            return result.sequences
+        return greedy_search(
+            step_fn, states, batch_size, max_len, bos_id, eos_id, pad_id,
+            forced_eos=False,
+        ).sequences
+
+    return generate
+
+
+def evaluation(models, config, dl, from_training=True, **kwargs) -> Dict[str, Any]:
+    """The ``eval_func`` for RRG/RRS-style generation models."""
+    dataset = dl.dataset
+    if hasattr(dataset, "tokenizer"):
+        ref_key = "input_ids"
+        tokenizer = dataset.tokenizer
+        max_len = dataset.tokenizer_max_len
+    else:
+        ref_key = "decoder_input_ids"
+        tokenizer = dataset.tgt_tokenizer
+        max_len = dataset.tgt_tokenizer_max_len
+
+    bos_id, eos_id, pad_id = get_special_token_ids(models[0].dec_config, tokenizer)
+    beam_width = config.get("beam_width", 1)
+    length_penalty = config.get("length_penalty", None)
+    length_penalty = 1.0 if length_penalty is None else float(length_penalty)
+
+    generate = make_generate_fn(
+        models, beam_width, int(max_len), bos_id, eos_id, pad_id, length_penalty
+    )
+    variables_list = [m.variables for m in models]
+    batch_size = getattr(dl, "batch_size", None)
+
+    ref_list: List[str] = []
+    hyp_list: List[str] = []
+    for batch in dl:
+        n = batch[ref_key].shape[0]
+        enc_inputs = models[0].encoder_inputs(batch)
+        if batch_size and n < batch_size:  # static-shape padding for XLA
+            enc_inputs = {k: _pad_batch(v, batch_size) if v is not None else None
+                          for k, v in enc_inputs.items()}
+        seqs = np.asarray(generate(variables_list, enc_inputs))[:n]
+        for h, r in zip(seqs, batch[ref_key]):
+            hyp_list.append(
+                tokenizer.decode(h, skip_special_tokens=True, clean_up_tokenization_spaces=False)
+            )
+            ref_list.append(
+                tokenizer.decode(r, skip_special_tokens=True, clean_up_tokenization_spaces=False)
+            )
+    return {"refs": ref_list, "hyps": hyp_list}

