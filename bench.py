@@ -1,0 +1,138 @@
+#!/usr/bin/env python
+"""Headline benchmark: RRG reports/sec/chip at beam=8 (BASELINE.md north star).
+
+Measures the flagship generation path — DenseNet-169 encoder (the reference's
+RRG baseline backbone, config/RRG/biomed-roberta-baseline-mimic.yml) + 1-layer
+768-hidden cross-attention decoder with a 50k vocab — decoding 100-token reports
+with beam width 8, all in one jitted XLA program in bf16.
+
+Baseline: the reference publishes no numbers (BASELINE.md); its eval envelope is
+HF ``generate`` with beam 8 / batch 4 on A100 (validator batch_size, reference
+config RRG/biomed-roberta-baseline-mimic.yml:58-60). We estimate that path at
+~5 reports/s/chip (100 per-token python generate steps x ~8 ms/step for batch 4,
+per HF-generate overhead on short decoders); ``vs_baseline`` is measured/estimate.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+ESTIMATED_A100_REFERENCE_REPORTS_PER_SEC = 5.0
+
+BATCH = 16
+MAX_LEN = 100
+BEAM = 8
+VOCAB = 50265
+IMAGE = 224
+
+
+def build_model():
+    from vilmedic_tpu.blocks.transformer import TransformerConfig
+    from vilmedic_tpu.blocks.vision.visual_encoder import VisualEncoder
+    from vilmedic_tpu.models.rrg import RRGModule
+
+    enc = VisualEncoder(
+        backbone="densenet169",
+        output_layer="features",
+        permute="batch_first",
+        projection_dim=768,
+        dtype=jnp.bfloat16,
+    )
+    cfg = TransformerConfig(
+        vocab_size=VOCAB,
+        hidden_size=768,
+        num_hidden_layers=1,
+        num_attention_heads=12,
+        intermediate_size=3072,
+        max_position_embeddings=514,
+        add_cross_attention=True,
+        dtype=jnp.bfloat16,
+    )
+    return RRGModule(enc=enc, dec_config=cfg)
+
+
+def main():
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_vilmedic_tpu")
+
+    module = build_model()
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.normal(size=(BATCH, IMAGE, IMAGE, 3)), jnp.float32)
+    ids = jnp.asarray(rng.integers(3, VOCAB, (BATCH, 8)), jnp.int32)
+    mask = jnp.ones((BATCH, 8), jnp.int32)
+
+    # jit the init: op-by-op dispatch of a 169-layer conv net is minutes of
+    # per-primitive compiles; one jitted program initializes in seconds.
+    init = jax.jit(
+        lambda key: module.init({"params": key}, images, ids, mask, train=False)
+    )
+    variables = init(jax.random.key(0))
+
+    from vilmedic_tpu.decoding import beam_search, tile_for_beams
+
+    @jax.jit
+    def generate(variables, images):
+        enc_h, enc_m = module.apply(variables, images, method=type(module).encode)
+        cache = module.apply(variables, enc_h, MAX_LEN, method=type(module).init_cache)
+        state = tile_for_beams(
+            {"cache": cache, "enc_mask": enc_m.astype(jnp.int32)}, BEAM
+        )
+
+        def step_fn(tokens, st, index):
+            logits, new_cache = module.apply(
+                variables, tokens, st["cache"], st["enc_mask"], index,
+                method=type(module).decode_step,
+            )
+            return logits[:, -1].astype(jnp.float32), {
+                "cache": new_cache, "enc_mask": st["enc_mask"]
+            }
+
+        return beam_search(
+            step_fn, state, BATCH, BEAM, MAX_LEN, bos_id=0, eos_id=2, pad_id=1,
+            length_penalty=1.0,
+        ).sequences
+
+    # compile + warmup. NOTE: on the axon tunnel backend block_until_ready does
+    # not wait for execution — a device->host transfer (np.asarray) does, so all
+    # timings force the transfer (sequences are int32 (B, 100): transfer cost
+    # is negligible vs decode).
+    np.asarray(generate(variables, images))
+
+    # distinct input batches so no caching layer can elide work
+    batches = [
+        jnp.asarray(np.random.default_rng(i).normal(size=(BATCH, IMAGE, IMAGE, 3)),
+                    jnp.float32)
+        for i in range(5)
+    ]
+    times = []
+    for b in batches:
+        t0 = time.perf_counter()
+        np.asarray(generate(variables, b))
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
+
+    reports_per_sec = BATCH / dt
+    print(
+        json.dumps(
+            {
+                "metric": "rrg_reports_per_sec_chip_beam8",
+                "value": round(reports_per_sec, 3),
+                "unit": "reports/s/chip",
+                "vs_baseline": round(
+                    reports_per_sec / ESTIMATED_A100_REFERENCE_REPORTS_PER_SEC, 3
+                ),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -7,7 +7,9 @@ fake-backend distributed testing the reference lacks (SURVEY.md §4).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Hard override: the image profile exports JAX_PLATFORMS=axon (the real TPU
+# tunnel); tests must run on a virtual 8-device CPU mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (

@@ -1,0 +1,94 @@
+"""Loss block tests against reference semantics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vilmedic_tpu.blocks.losses import (
+    ConVIRTLoss,
+    CrossEntropyLoss,
+    GLoRIALoss,
+    InfoNCELoss,
+    LabelSmoothingCrossEntropy,
+    SuperLoss,
+    VICREGLoss,
+)
+
+
+def test_cross_entropy_ignore_index():
+    logits = jnp.asarray([[2.0, 0.0, 0.0], [0.0, 2.0, 0.0], [9.0, 0.0, 0.0]])
+    labels = jnp.asarray([0, 1, -100])
+    loss = CrossEntropyLoss()(logits, labels)
+    # mean over the 2 valid rows only
+    expected = -np.log(np.exp(2) / (np.exp(2) + 2))
+    assert float(loss) == pytest.approx(expected, rel=1e-3)  # f32 vs f64 rounding
+
+
+def test_label_smoothing():
+    logits = jnp.asarray([[4.0, 0.0], [0.0, 4.0]])
+    labels = jnp.asarray([0, 1])
+    plain = CrossEntropyLoss()(logits, labels)
+    smoothed = LabelSmoothingCrossEntropy(smoothing=0.1)(logits, labels)
+    assert float(smoothed) > float(plain)  # smoothing adds entropy cost
+
+
+def test_convirt_loss_alignment():
+    rng = np.random.default_rng(0)
+    aligned = jnp.asarray(rng.normal(size=(8, 16)), jnp.float32)
+    loss_fn = ConVIRTLoss(tau=0.1, lambda_=0.75)
+    loss_same, _, _ = loss_fn(aligned, aligned)
+    shuffled = aligned[::-1]
+    loss_diff, _, _ = loss_fn(aligned, shuffled)
+    assert float(loss_same) < float(loss_diff)
+
+
+def test_infonce_symmetric():
+    rng = np.random.default_rng(1)
+    a = jnp.asarray(rng.normal(size=(6, 8)), jnp.float32)
+    loss, lt, li = InfoNCELoss(tau=1.0)(a, a)
+    assert float(loss) < float(InfoNCELoss(tau=1.0)(a, a[::-1])[0])
+    assert lt.shape == (6,)
+
+
+def test_vicreg_zero_for_identical_unit_variance():
+    rng = np.random.default_rng(2)
+    z = jnp.asarray(rng.normal(size=(64, 8)), jnp.float32)
+    loss = VICREGLoss()(z, z)
+    # invariance term 0; variance/cov small for gaussian data
+    assert float(loss) < 5.0
+    # pulling apart raises the invariance term
+    assert float(VICREGLoss()(z, z + 1.0)) > float(loss)
+
+
+def test_superloss_finite_and_ordered():
+    sl = SuperLoss(C=10)
+    easy = jnp.asarray([0.1, 0.2, 0.1], jnp.float32)
+    hard = jnp.asarray([5.0, 6.0, 7.0], jnp.float32)
+    le, lh = float(sl(easy)), float(sl(hard))
+    assert np.isfinite(le) and np.isfinite(lh)
+    assert le < lh
+
+
+def test_gloria_loss_jits_and_prefers_alignment():
+    rng = np.random.default_rng(3)
+    b, s, t, d = 4, 9, 6, 16
+    img_local = jnp.asarray(rng.normal(size=(b, s, d)), jnp.float32)
+    img_global = jnp.asarray(rng.normal(size=(b, d)), jnp.float32)
+    words = jnp.asarray(rng.normal(size=(b, t, d)), jnp.float32)
+    sents = jnp.asarray(rng.normal(size=(b, d)), jnp.float32)
+    mask = jnp.ones((b, t), jnp.float32)
+
+    loss_fn = GLoRIALoss()
+    jitted = jax.jit(
+        lambda *a: loss_fn(*a)
+    )
+    loss = jitted(img_global, img_local, words, sents, mask)
+    assert np.isfinite(float(loss))
+
+    # aligned image/text pairs should score lower than permuted pairs
+    aligned = jitted(img_global, img_local, img_local[:, :t], img_global, mask)
+    permuted = jitted(
+        img_global, img_local, img_local[::-1][:, :t], img_global[::-1], mask
+    )
+    assert float(aligned) < float(permuted)

@@ -12,6 +12,7 @@ __version__ = "0.1.0"
 from . import registry  # noqa: F401
 
 # Importing these modules populates the registries (models, datasets, losses, ...).
+from . import blocks as _blocks  # noqa: F401
 from . import data as _data  # noqa: F401
 from . import models as _models  # noqa: F401
 from . import scorers as _scorers  # noqa: F401

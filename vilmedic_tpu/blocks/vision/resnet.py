@@ -80,6 +80,7 @@ class ResNet(nn.Module):
     stage_sizes: Sequence[int]
     block_cls: Callable
     output_layer: str = "avgpool"  # stem | layer1..layer4 | avgpool
+    capture_layer: str = None  # also return this stage's feature map (GLoRIA local)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -98,6 +99,7 @@ class ResNet(nn.Module):
         x = norm(name="bn_init")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        captured = None
         if self.output_layer == "stem":
             return x
 
@@ -108,11 +110,14 @@ class ResNet(nn.Module):
                     64 * 2 ** i, conv=conv, norm=norm, strides=strides,
                     name=f"layer{i + 1}_block{j}",
                 )(x)
+            if self.capture_layer == f"layer{i + 1}":
+                captured = x
             if self.output_layer == f"layer{i + 1}":
-                return x
+                return (x, captured) if self.capture_layer else x
 
         # avgpool
-        return jnp.mean(x, axis=(1, 2))
+        out = jnp.mean(x, axis=(1, 2))
+        return (out, captured) if self.capture_layer else out
 
 
 def make_resnet(backbone: str, output_layer: str = "avgpool", dtype=jnp.float32) -> ResNet:

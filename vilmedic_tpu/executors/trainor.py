@@ -161,11 +161,25 @@ class Trainor:
             grad_acc = self._zero_grads() if self.grad_accu > 1 else None
             iteration = 0
 
+            custom_print = ""
             for iteration, batch in enumerate(self.dl, start=1):
                 batch = shard_batch(self._model_batch(batch), self.mesh)
                 lr = jnp.asarray(scheduler.current_lr(), jnp.float32)
 
-                if self.grad_accu == 1:
+                if hasattr(self.model, "train_iteration"):
+                    # Model owns its training step (SCST: rollouts + host
+                    # rewards + policy-gradient update).
+                    self.state, loss, custom_print = self.model.train_iteration(
+                        self, self.state, batch, lr
+                    )
+                    if not np.isfinite(loss):
+                        self.logger.warning(
+                            f"NaN/Inf loss at epoch {epoch + 1}, iter {iteration}. Skipping..."
+                        )
+                        continue
+                    losses.append(loss)
+                    scheduler.iteration_step(epoch + iteration / max(1, len(self.dl)))
+                elif self.grad_accu == 1:
                     self.state, loss = self._train_step(self.state, batch, lr, self.rng)
                     loss = float(loss)
                     if not np.isfinite(loss):
@@ -199,7 +213,8 @@ class Trainor:
                     log = (
                         f"Epoch {epoch + 1}, Lr {scheduler.current_lr():.3g}, "
                         f"Loss {avg:.4f}, {scheduler.early_stop_metric} "
-                        f"{scheduler.current_best_metric:.4g}, ES {scheduler.early_stop}"
+                        f"{scheduler.current_best_metric:.4g}, ES {scheduler.early_stop} "
+                        f"{custom_print}"
                     )
 
             # final partial accumulation step (reference :143-155)

@@ -1,4 +1,7 @@
-"""Task models (RRG / RRS / MVQA / SELFSUP). Importing registers protos."""
+"""Task models (RRG / RRS / MVQA / SELFSUP / SCST). Importing registers protos."""
 
+from .mvqa import MVQA  # noqa: F401
 from .rrg import RRG  # noqa: F401
 from .rrs import RRS  # noqa: F401
+from .scst_models import RRG_SCST, RRS_SCST  # noqa: F401
+from .selfsup import ConVIRT, GLoRIA  # noqa: F401

@@ -1,0 +1,242 @@
+"""RRG_SCST / RRS_SCST: reinforcement fine-tuning of trained generation models.
+
+Parity with reference vilmedic/models/rrg/RRG_SCST.py:37-91 and rrs/RRS_SCST.py:
+wrap a trained base model (checkpoint loaded at construction), run a greedy
+baseline rollout and a sampled rollout, reward both with ``REWARD_COMPLIANT``
+scorers, and apply the SCST policy-gradient loss.
+
+TPU-native training step (one ``train_iteration`` per batch, SURVEY.md §7):
+1. jitted no-grad rollouts (greedy + top-k sampling) over the encoder memory;
+2. host-side reward computation (decode to strings -> scorers);
+3. jitted gradient step: the sampled sequences are teacher-forced through the
+   decoder; per-token log-probs x advantage give the REINFORCE loss (+ optional
+   NLL mixing) — replacing the reference's grad-through-generate hack.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .. import registry
+from ..blocks.rl.scst import SCST, scst_loss
+from ..blocks.transformer import causal_lm_loss
+from ..decoding import greedy_search, sample
+from ..executors.checkpoint import load_checkpoint, restore_into
+from .base import TaskModel, get_special_token_ids
+from .evaluation_nlg import evaluation as nlg_evaluation
+
+
+def scst_evaluation(models, config, dl, **kwargs):
+    """Unwrap to the trained base models (reference RRG_SCST.py:13-17)."""
+    return nlg_evaluation([m.model for m in models], config, dl, **kwargs)
+
+
+class _SCSTBase(TaskModel):
+    base_proto: str = None
+
+    def __init__(self, dl=None, logger=None, from_training=True, scores="ROUGEL",
+                 ckpt=None, scores_args=None, scores_weights=None, top_k=None,
+                 use_nll=False, **base_kwargs):
+        base_cls = registry.get("model", self.base_proto)
+        self.model = base_cls(dl=dl, logger=logger, from_training=from_training,
+                              **base_kwargs)
+        self.module = self.model.module
+        self.dec_config = self.model.dec_config
+        self._ckpt = ckpt
+
+        dataset = dl.dataset
+        if hasattr(dataset, "tokenizer"):
+            tokenizer = dataset.tokenizer
+            max_length = dataset.tokenizer_max_len
+        elif hasattr(dataset, "tgt_tokenizer"):
+            tokenizer = dataset.tgt_tokenizer
+            max_length = dataset.tgt_tokenizer_max_len
+        else:
+            raise NotImplementedError("Where is tokenizer in dataset?")
+
+        bos, eos, pad = get_special_token_ids(self.dec_config, tokenizer)
+        self.scst = SCST(
+            tokenizer=tokenizer, max_length=max_length,
+            bos_token_id=bos, eos_token_id=eos, pad_token_id=pad,
+            scores=scores, scores_args=scores_args, scores_weights=scores_weights,
+            top_k=top_k, use_nll=use_nll,
+        )
+        self.eval_func = scst_evaluation
+        self.variables: Optional[Dict] = None
+        self._rollout_fn = None
+        self._grad_fn = None
+
+    # -- executor contract --------------------------------------------------
+    def init_variables(self, rng, batch):
+        variables = self.model.init_variables(rng, batch)
+        if self._ckpt:
+            state = load_checkpoint(self._ckpt)
+            variables = restore_into(variables, state["model"])
+        return variables
+
+    @property
+    def variables(self):
+        return self.model.variables
+
+    @variables.setter
+    def variables(self, value):
+        self.model.variables = value
+
+    def encoder_inputs(self, batch):
+        return self.model.encoder_inputs(batch)
+
+    def apply_train(self, variables, batch, rng, train=True):
+        # teacher-forced NLL path (used by validation_loss if requested)
+        return self.model.apply_train(variables, batch, rng, train=train)
+
+    # -- SCST training ------------------------------------------------------
+    def _build_jitted(self, tx):
+        module = self.module
+        scst = self.scst
+        max_len = int(scst.max_length)
+        bos, eos, pad = scst.bos_token_id, scst.eos_token_id, scst.pad_token_id
+        bad_words = (pad, bos)
+        top_k = scst.top_k
+        n_scores = len(scst.scores)
+        weights = tuple(scst.reward_weights)
+        nll_weight = scst.nll_weight
+        use_nll = scst.use_nll
+
+        @jax.jit
+        def rollouts(variables, enc_inputs, rng):
+            enc_h, enc_m = module.apply(
+                variables, **enc_inputs, method=type(module).encode
+            )
+            enc_m = enc_m.astype(jnp.int32)
+            batch = enc_h.shape[0]
+
+            def make_step(var):
+                def step_fn(tokens, st, index):
+                    logits, new_cache = module.apply(
+                        var, tokens, st["cache"], st["enc_mask"], index,
+                        method=type(module).decode_step,
+                    )
+                    return logits[:, -1].astype(jnp.float32), {
+                        "cache": new_cache, "enc_mask": st["enc_mask"]
+                    }
+                return step_fn
+
+            cache = module.apply(variables, enc_h, max_len, method=type(module).init_cache)
+            st = {"cache": cache, "enc_mask": enc_m}
+            greedy = greedy_search(
+                make_step(variables), st, batch, max_len, bos, eos, pad,
+                forced_eos=True,
+            ).sequences
+            cache2 = module.apply(variables, enc_h, max_len, method=type(module).init_cache)
+            st2 = {"cache": cache2, "enc_mask": enc_m}
+            sampled = sample(
+                make_step(variables), st2, batch, max_len, bos, eos, pad,
+                rng=rng, top_k=top_k, bad_words=bad_words, forced_eos=True,
+            ).sequences
+            return greedy, sampled
+
+        @jax.jit
+        def grad_step(state, batch, enc_inputs, sampled_ids, advantages, lr, rng):
+            def loss_fn(params):
+                variables = {"params": params}
+                if state.batch_stats:
+                    variables["batch_stats"] = state.batch_stats
+                enc_h, enc_m = module.apply(
+                    variables, **enc_inputs, method=type(module).encode
+                )
+                # teacher-forced forward over the sampled sequence
+                att = (sampled_ids != pad).astype(jnp.int32)
+                logits = module.apply(
+                    variables, sampled_ids, att, enc_h, enc_m.astype(jnp.int32),
+                    method=_decoder_forward,
+                )
+                logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+                tok = sampled_ids[:, 1:]
+                tok_logp = jnp.take_along_axis(
+                    logp[:, :-1], tok[..., None].astype(jnp.int32), axis=-1
+                ).squeeze(-1)
+                loss = scst_loss(tok_logp, tok, advantages, weights, pad)
+                if use_nll:
+                    gt_logits = module.apply(
+                        variables, batch["input_ids"], batch["attention_mask"],
+                        enc_h, enc_m.astype(jnp.int32), method=_decoder_forward,
+                    )
+                    loss = loss + nll_weight * causal_lm_loss(
+                        gt_logits, batch["input_ids"], batch["attention_mask"]
+                    )
+                return loss
+
+            loss, grads = jax.value_and_grad(loss_fn)(state.params)
+            from ..executors.train_state import set_learning_rate
+
+            opt_state = set_learning_rate(state.opt_state, lr)
+            updates, opt_state = tx.update(grads, opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            return state.replace(
+                step=state.step + 1, params=params, opt_state=opt_state
+            ), loss
+
+        def _decoder_forward(mod, input_ids, attention_mask, enc_h, enc_m):
+            return mod.dec(
+                input_ids, attention_mask,
+                encoder_hidden_states=enc_h, encoder_attention_mask=enc_m,
+                deterministic=True,
+            )
+
+        return rollouts, grad_step
+
+    def train_iteration(self, trainor, state, batch, lr):
+        if self._rollout_fn is None:
+            self._rollout_fn, self._grad_fn = self._build_jitted(trainor.tx)
+
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+
+        enc_inputs = self.encoder_inputs(batch)
+        rng = jax.random.fold_in(trainor.rng, int(state.step))
+        greedy_ids, sampled_ids = self._rollout_fn(variables, enc_inputs, rng)
+        greedy_np = np.asarray(greedy_ids)
+        sampled_np = np.asarray(sampled_ids)
+        refs_np = np.asarray(batch["input_ids"])
+
+        reward_greedy, _, _ = self.scst.get_reward(greedy_np, refs_np)
+        reward_sampling, _, _ = self.scst.get_reward(sampled_np, refs_np)
+        advantages = np.stack(
+            [rs - rg for rs, rg in zip(reward_sampling, reward_greedy)]
+        ).astype(np.float32)  # (n_scores, B)
+
+        new_state, loss = self._grad_fn(
+            state, batch, enc_inputs, sampled_ids, jnp.asarray(advantages), lr, rng
+        )
+        delta = float(np.mean(advantages))
+        custom = (
+            f"reward_sampling {float(np.mean(np.concatenate(reward_sampling))):.4f}, "
+            f"delta_reward: {delta:.4f}"
+        )
+        return new_state, float(loss), custom
+
+    def __repr__(self):
+        return f"model: {type(self).__name__}\n{self.scst}"
+
+
+@registry.register("model")
+class RRG_SCST(_SCSTBase):
+    base_proto = "RRG"
+
+    def __init__(self, decoder, cnn, **kwargs):
+        super().__init__(decoder=decoder, cnn=cnn, **kwargs)
+
+
+@registry.register("model")
+class RRS_SCST(_SCSTBase):
+    base_proto = "RRS"
+
+    def __init__(self, encoder, decoder, **kwargs):
+        super().__init__(encoder=encoder, decoder=decoder, **kwargs)
