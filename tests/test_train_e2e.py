@@ -130,11 +130,9 @@ def test_rrg_end_to_end(workdir, tmp_path):
     assert trainor.training_scheduler.iteration_count == 4  # 2 epochs x 2 steps
 
 
-def test_checkpoint_roundtrip(workdir, tmp_path):
-    from vilmedic_tpu.executors.checkpoint import load_checkpoint, restore_into
-
-    ckpt_dir = tmp_path / "ckpt2"
-    ckpt_dir.mkdir()
+@pytest.fixture(scope="module")
+def trained_ckpt_dir(workdir, tmp_path_factory):
+    ckpt_dir = tmp_path_factory.mktemp("ckpt2")
     config = _config(workdir, ckpt_dir)
     config["epochs"] = 1
     seed = 424243
@@ -146,10 +144,45 @@ def test_checkpoint_roundtrip(workdir, tmp_path):
     )
     trainor.evaluator = evaluator
     trainor.start()
+    return ckpt_dir, trainor
 
+
+def test_checkpoint_roundtrip(trained_ckpt_dir):
+    from vilmedic_tpu.executors.checkpoint import load_checkpoint, restore_into
+
+    ckpt_dir, trainor = trained_ckpt_dir
     ckpt = glob.glob(str(ckpt_dir / "*.ckpt"))[0]
     state = load_checkpoint(ckpt)
     assert state["config"]["model"]["proto"] == "RRG"
     restored = restore_into(trainor.model.variables, state["model"])
     leaf = next(iter(restored["params"].values()))
     assert leaf is not None
+
+
+def test_zoo_from_pretrained(trained_ckpt_dir, workdir):
+    """AutoModel rebuilds dataset+model from a checkpoint dir and generates
+    from raw user input (reference zoo/modeling_auto.py:55-117, ImSeq.py:39-50)."""
+    from vilmedic_tpu.models.evaluation_nlg import make_generate_fn
+    from vilmedic_tpu.zoo import AutoModel
+
+    ckpt_dir, _ = trained_ckpt_dir
+    model, dataset = AutoModel.from_pretrained(str(ckpt_dir))
+    assert hasattr(dataset, "inference")
+
+    batch = dataset.inference(
+        seq=["no acute disease ."], image=[str(workdir / "im0.jpg")]
+    )
+    assert batch["images"].shape[1:] == (32, 32, 3)
+
+    generate = make_generate_fn(
+        [model], beam_width=2, max_len=12,
+        bos_id=model.dec_config.bos_token_id or dataset.tokenizer.cls_token_id,
+        eos_id=model.dec_config.eos_token_id or dataset.tokenizer.sep_token_id,
+        pad_id=dataset.tokenizer.pad_token_id,
+        length_penalty=1.0,
+    )
+    seqs = generate([model.variables], model.encoder_inputs(batch))
+    hyp = dataset.tokenizer.decode(
+        list(seqs[0]), skip_special_tokens=True, clean_up_tokenization_spaces=False
+    )
+    assert isinstance(hyp, str)

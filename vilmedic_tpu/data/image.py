@@ -209,9 +209,13 @@ class ImageDataset:
         hf_field=None,
         hf_local=None,
         hf_filter=None,
+        inference_only=False,
         **kwargs,
     ):
         assert split is not None, "Argument split cant be None"
+        if inference_only:  # zoo mode: transforms only, no data files on disk
+            file = None
+            hf_dataset = None
         assert file is None or hf_dataset is None, (
             "You cannot have file and hf_dataset at the same time"
         )

@@ -32,8 +32,12 @@ class LabelDataset:
         file=None,
         ckpt_dir=None,
         label_file=None,
+        inference_only=False,
         **kwargs,
     ):
+        if inference_only:  # zoo mode: label map from ckpt_dir only
+            file = None
+            label_file = label_file or os.path.join(ckpt_dir, "labels.tok")
         assert split is not None, "Argument split cant be None"
         assert not (file is None and label_file is None), (
             "Please specify a file or a label_file"

@@ -52,8 +52,13 @@ class TextDataset:
         hf_field=None,
         hf_local=None,
         hf_filter=None,
+        inference_only=False,
         **kwargs,
     ):
+        if inference_only:
+            # zoo mode: tokenizer/processing only, no data files on disk
+            file = None
+            hf_dataset = None
         assert source in ("src", "tgt")
         assert split is not None, "Argument split cannot be None"
         assert not (file is not None and vocab_file is not None), (

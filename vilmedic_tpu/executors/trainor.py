@@ -73,8 +73,19 @@ class Trainor:
             total_steps=len(self.dl) * int(config.get("epochs", 1)),
         )
 
-        # Mesh + state
-        self.mesh = get_mesh()
+        # Mesh + state: the data axis must divide the per-host batch; fall back
+        # to a device subset when the configured batch is smaller than the mesh.
+        import math
+
+        n_devices = len(jax.devices())
+        batch_size = int(config.get("batch_size", 1) or 1)
+        data_size = math.gcd(batch_size, n_devices) or 1
+        if data_size < n_devices:
+            self.logger.warning(
+                f"batch_size {batch_size} not divisible across {n_devices} devices; "
+                f"using a {data_size}-device data mesh"
+            )
+        self.mesh = get_mesh(devices=jax.devices()[:data_size])
         params = self.model.variables["params"]
         batch_stats = self.model.variables.get("batch_stats", {})
         opt_state = self.tx.init(params)
