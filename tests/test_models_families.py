@@ -1,0 +1,288 @@
+"""Model-family e2e smoke tests: MVQA, ConVIRT, SCST, RRG_FORCE, multi-image."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from vilmedic_tpu.config import Config
+from vilmedic_tpu.executors import Trainor, Validator
+from vilmedic_tpu.utils import set_logger
+
+REPORTS = [
+    "no acute disease .",
+    "heart size is normal .",
+    "small pleural effusion .",
+    "no evidence of pneumonia .",
+    "lungs are clear .",
+    "mild cardiomegaly .",
+    "no acute disease .",
+    "lungs are clear .",
+]
+LABELS = ["normal", "normal", "effusion", "normal", "normal", "cardiomegaly",
+          "normal", "normal"]
+CONCEPTS = ["pleural", "heart", "effusion", "pneumonia", "lungs", "cardiomegaly",
+            "disease", "clear"]
+
+TINY_VIT = {
+    "proto": "VisualEncoder",
+    "backbone": "vit",
+    "permute": "no_permute",
+    "hidden_size": 32,
+    "num_hidden_layers": 1,
+    "num_attention_heads": 4,
+    "intermediate_size": 64,
+    "patch_size": 16,
+}
+
+TINY_TRANSFORMER = {
+    "hidden_size": 32,
+    "num_hidden_layers": 1,
+    "num_attention_heads": 4,
+    "intermediate_size": 64,
+    "max_position_embeddings": 64,
+    "hidden_dropout_prob": 0.0,
+}
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("families")
+    rng = np.random.default_rng(0)
+    paths = []
+    for i in range(len(REPORTS)):
+        arr = rng.integers(0, 255, (48, 48, 3), dtype=np.uint8)
+        p = root / f"im{i}.jpg"
+        Image.fromarray(arr).save(p)
+        paths.append(str(p))
+    for split in ("train", "validate"):
+        (root / f"{split}.report.tok").write_text("\n".join(REPORTS))
+        (root / f"{split}.image.tok").write_text("\n".join(paths))
+        (root / f"{split}.label.tok").write_text("\n".join(LABELS))
+        (root / f"{split}.concepts.tok").write_text("\n".join(CONCEPTS))
+    return root
+
+
+def _base_config(root, ckpt_dir, dataset, model, **extra):
+    cfg = {
+        "ckpt_dir": str(ckpt_dir),
+        "dataset": dataset,
+        "model": model,
+        "batch_size": 4,
+        "optimizer": "Adam",
+        "optim_params": {"lr": 1e-3},
+        "epochs": 0,
+        "early_stop": 5,
+        "eval_start": 0,
+        "early_stop_metric": "validation_loss",
+        "metrics": [],
+        "splits": ["validate"],
+    }
+    cfg.update(extra)
+    return Config(cfg)
+
+
+def _run(config, seed):
+    set_logger(config.ckpt_dir, seed)
+    trainor = Trainor(config=config, seed=seed)
+    evaluator = Validator(
+        config=config, models=[trainor.model], train_dl=trainor.dl,
+        seed=seed, from_training=True,
+    )
+    trainor.evaluator = evaluator
+    trainor.start()
+    return trainor, evaluator
+
+
+def test_mvqa_end_to_end(workdir, tmp_path):
+    config = _base_config(
+        workdir, tmp_path,
+        dataset={
+            "proto": "ImLabel",
+            "image": {"root": str(workdir), "file": "image.tok", "resize": 40,
+                      "crop": 32, "ext": ".jpg"},
+            "label": {"root": str(workdir), "file": "label.tok"},
+            "num_workers": 0,
+        },
+        model={
+            "proto": "MVQA",
+            "cnn": dict(TINY_VIT),
+            "adapter": {"input_size": 32, "output_size": 32},
+            "transformer": dict(TINY_TRANSFORMER),
+            "classifier": {"proto": "Classifier", "num_classes": 3},
+            "loss": {"proto": "CrossEntropyLoss"},
+        },
+        metrics=["accuracy"],
+        early_stop_metric="accuracy",
+    )
+    trainor, evaluator = _run(config, 515151)
+    scores = evaluator.scores[0]
+    assert "accuracy" in scores and 0 <= scores["accuracy"] <= 100
+    assert np.isfinite(scores["validation_loss"])
+
+
+def test_convirt_end_to_end(workdir, tmp_path):
+    config = _base_config(
+        workdir, tmp_path,
+        dataset={
+            "proto": "ImSeq",
+            "image": {"root": str(workdir), "file": "image.tok", "resize": 40,
+                      "crop": 32, "ext": ".jpg"},
+            "seq": {"root": str(workdir), "file": "report.tok", "source": "tgt",
+                    "tokenizer_max_len": 12},
+            "num_workers": 0,
+        },
+        model={
+            "proto": "ConVIRT",
+            "encoder": dict(TINY_TRANSFORMER),
+            "cnn": dict(TINY_VIT, permute="batch_first"),
+            "projection": {"visual_embedding_dim": 32, "textual_embedding_dim": 32,
+                           "projection_dim": 16},
+            "loss": {"proto": "ConVIRTLoss", "tau": 0.1, "lambda_": 0.75},
+        },
+    )
+    trainor, evaluator = _run(config, 515152)
+    assert np.isfinite(evaluator.scores[0]["validation_loss"])
+
+
+def test_convirt_visual_encoder_pooled():
+    """ConVIRT uses the pooled (B, C) visual output path."""
+    # vit backbone returns (B, S, D); ConVIRT projects whatever comes out.
+    # This asserts MLPProjection handles the token output by prior mean-pool?
+    # -> covered in the e2e above; here check module output shapes.
+    import jax
+    import jax.numpy as jnp
+
+    from vilmedic_tpu.blocks.transformer import TransformerConfig
+    from vilmedic_tpu.blocks.vision.visual_encoder import build_visual_encoder
+    from vilmedic_tpu.models.selfsup import ConVIRTModule
+
+    cfg = TransformerConfig(vocab_size=30, **TINY_TRANSFORMER)
+    module = ConVIRTModule(
+        enc_config=cfg,
+        visual=build_visual_encoder(dict(TINY_VIT, permute="batch_first")),
+        projection_dim=16,
+    )
+    ids = jnp.ones((2, 8), jnp.int32)
+    mask = jnp.ones((2, 8), jnp.int32)
+    images = jnp.ones((2, 32, 32, 3))
+    variables = module.init(jax.random.key(0), ids, mask, images)
+    lin, vis = module.apply(variables, ids, mask, images)
+    assert lin.shape == (2, 16)
+    assert vis.shape[0] == 2 and vis.shape[-1] == 16
+
+
+def test_gloria_end_to_end(workdir, tmp_path):
+    config = _base_config(
+        workdir, tmp_path,
+        dataset={
+            "proto": "ImSeq",
+            "image": {"root": str(workdir), "file": "image.tok", "resize": 72,
+                      "crop": 64, "ext": ".jpg"},
+            "seq": {"root": str(workdir), "file": "report.tok", "source": "tgt",
+                    "tokenizer_max_len": 12},
+            "num_workers": 0,
+        },
+        model={
+            "proto": "GLoRIA",
+            "encoder": dict(TINY_TRANSFORMER),
+            "cnn": {"backbone": "resnet18", "feature_dim": 16},
+        },
+        batch_size=4,
+    )
+    trainor, evaluator = _run(config, 515153)
+    assert np.isfinite(evaluator.scores[0]["validation_loss"])
+
+
+def test_rrg_scst_iteration(workdir, tmp_path):
+    config = _base_config(
+        workdir, tmp_path,
+        dataset={
+            "proto": "ImSeq",
+            "image": {"root": str(workdir), "file": "image.tok", "resize": 40,
+                      "crop": 32, "ext": ".jpg"},
+            "seq": {"root": str(workdir), "file": "report.tok", "source": "tgt",
+                    "tokenizer_max_len": 12},
+            "num_workers": 0,
+        },
+        model={
+            "proto": "RRG_SCST",
+            "decoder": dict(TINY_TRANSFORMER, proto=None),
+            "cnn": dict(TINY_VIT),
+            "scores": "rougel",
+            "top_k": 5,
+        },
+    )
+    trainor, evaluator = _run(config, 515154)
+    # SCST ran its own train_iteration path for each batch of the epoch
+    assert trainor.training_scheduler.iteration_count == 2
+    assert np.isfinite(evaluator.scores[0]["validation_loss"])
+
+
+def test_rrg_force_constrained_eval(workdir, tmp_path):
+    config = _base_config(
+        workdir, tmp_path,
+        dataset={
+            "proto": "ImSeqAny",
+            "image": {"root": str(workdir), "file": "image.tok", "resize": 40,
+                      "crop": 32, "ext": ".jpg"},
+            "seq": {"root": str(workdir), "file": "report.tok", "source": "tgt",
+                    "tokenizer_max_len": 12},
+            "any": {"root": str(workdir), "file": "concepts.tok",
+                    "name": "concepts"},
+            "num_workers": 0,
+        },
+        model={
+            "proto": "RRG_FORCE",
+            "decoder": dict(TINY_TRANSFORMER, proto=None),
+            "cnn": dict(TINY_VIT),
+        },
+        metrics=["BLEU"],
+        early_stop_metric="BLEU",
+    )
+    trainor, evaluator = _run(config, 515155)
+    scores = evaluator.scores[0]
+    assert "BLEU" in scores
+    # constrained decoding must include the forced concept in each hypothesis
+    import glob as _glob
+
+    hyps_files = _glob.glob(str(tmp_path / "*hyps.txt"))
+    assert hyps_files
+    hyps = open(hyps_files[0]).read().splitlines()
+    concepts = CONCEPTS[: len(hyps)]
+    included = sum(1 for h, c in zip(hyps, concepts) if c in h)
+    assert included >= len(hyps) * 0.5, (hyps, concepts)
+
+
+def test_rrg_multi_image(workdir, tmp_path):
+    """Multi-image path: N images per line, padded with mask (RRG_HF.py:116-152)."""
+    multi = workdir / "multi"
+    multi.mkdir(exist_ok=True)
+    paths = sorted(str(p) for p in workdir.glob("im*.jpg"))
+    lines = [",".join(paths[:2]), paths[0], ",".join(paths[:3])]
+    reports = REPORTS[:3]
+    for split in ("train", "validate"):
+        (multi / f"{split}.report.tok").write_text("\n".join(reports))
+        (multi / f"{split}.image.tok").write_text("\n".join(lines))
+
+    config = _base_config(
+        multi, tmp_path,
+        dataset={
+            "proto": "ImSeq",
+            "image": {"root": str(multi), "file": "image.tok", "resize": 40,
+                      "crop": 32, "ext": ".jpg", "multi_image": 2},
+            "seq": {"root": str(multi), "file": "report.tok", "source": "tgt",
+                    "tokenizer_max_len": 12},
+            "num_workers": 0,
+        },
+        model={
+            "proto": "RRG",
+            "decoder": dict(TINY_TRANSFORMER, proto=None),
+            "cnn": dict(TINY_VIT, permute="batch_first"),
+        },
+        batch_size=3,
+        metrics=["BLEU"],
+        early_stop_metric="BLEU",
+        beam_width=2,
+    )
+    trainor, evaluator = _run(config, 515156)
+    assert "BLEU" in evaluator.scores[0]

@@ -136,6 +136,70 @@ def sample(
     )
 
 
+def constrained_greedy_search(
+    step_fn: StepFn,
+    caches,
+    batch_size: int,
+    max_len: int,
+    bos_id: int,
+    eos_id: int,
+    pad_id: int,
+    force_ids: jnp.ndarray,  # (B, K) int32, -1 padded: tokens that MUST appear
+    bias: float = 8.0,
+) -> RolloutResult:
+    """Greedy decoding under must-include token constraints.
+
+    A working realization of the reference's ``force_words_ids`` constrained
+    decoding (reference blocks/huggingface/decoder/evaluation_force.py, left
+    broken upstream): unmet forced tokens get a positive logit bias and EOS is
+    masked until every forced token has been emitted (or the length budget
+    forces termination), which guarantees inclusion whenever max_len allows.
+    """
+    k = force_ids.shape[1]
+    seqs = jnp.full((batch_size, max_len), pad_id, jnp.int32)
+    seqs = seqs.at[:, 0].set(bos_id)
+    finished = jnp.zeros((batch_size,), jnp.bool_)
+    satisfied = force_ids < 0  # padding slots count as satisfied
+    lengths = jnp.ones((batch_size,), jnp.int32)
+
+    def cond(state):
+        i, _, _, finished, _, _ = state
+        return (i < max_len - 1) & ~jnp.all(finished)
+
+    def body(state):
+        i, seqs, caches, finished, satisfied, lengths = state
+        tokens = lax.dynamic_slice_in_dim(seqs, i, 1, axis=1)
+        logits, new_caches = step_fn(tokens, caches, i)
+        logits = logits[:, -1] if logits.ndim == 3 else logits
+
+        unmet = ~satisfied  # (B, K)
+        vocab = logits.shape[-1]
+        onehot = jax.nn.one_hot(
+            jnp.where(unmet, force_ids, 0), vocab, dtype=logits.dtype
+        ) * unmet[..., None]
+        logits = logits + bias * jnp.sum(onehot, axis=1)
+        any_unmet = jnp.any(unmet, axis=1)
+        # hold EOS back while constraints remain and there is still room
+        room_left = max_len - 2 - i > jnp.sum(unmet, axis=1)
+        hold_eos = any_unmet & room_left
+        logits = logits.at[:, eos_id].add(jnp.where(hold_eos, NEG_INF, 0.0))
+
+        next_token = jnp.argmax(logits, axis=-1)
+        next_token = jnp.where((i == max_len - 2) & ~finished, eos_id, next_token)
+        next_token = jnp.where(finished, pad_id, next_token).astype(jnp.int32)
+
+        satisfied = satisfied | (force_ids == next_token[:, None])
+        seqs = lax.dynamic_update_slice(seqs, next_token[:, None], (0, i + 1))
+        newly_finished = finished | (next_token == eos_id)
+        lengths = lengths + (~finished).astype(jnp.int32)
+        return (i + 1, seqs, new_caches, newly_finished, satisfied, lengths)
+
+    _, seqs, _, _, _, lengths = lax.while_loop(
+        cond, body, (jnp.asarray(0), seqs, caches, finished, satisfied, lengths)
+    )
+    return RolloutResult(seqs, lengths)
+
+
 # ---------------------------------------------------------------------------
 # Beam search
 # ---------------------------------------------------------------------------

@@ -69,7 +69,10 @@ class ConVIRTModule(nn.Module):
         hidden = self.linguistic(input_ids, attention_mask, deterministic=not train)
         pooled = nn.tanh(self.pooler(hidden[:, 0]))
         linguistic = self.lin_proj(pooled)
-        visual = self.vis_proj(self.visual(images, train=train))
+        v = self.visual(images, train=train)
+        if v.ndim == 3:  # token outputs (ViT / feature maps) -> mean pool
+            v = jnp.mean(v, axis=1)
+        visual = self.vis_proj(v)
         return linguistic, visual
 
 
@@ -182,6 +185,8 @@ class GLoRIAModule(nn.Module):
         self.text_encoder = TransformerEncoder(cfg, name="text_encoder")
         self.global_embedder = nn.Dense(self.feature_dim, dtype=cfg.dtype, name="global_embedder")
         self.local_embedder = nn.Dense(self.feature_dim, dtype=cfg.dtype, name="local_embedder")
+        self.word_embedder = nn.Dense(self.feature_dim, dtype=cfg.dtype, name="word_embedder")
+        self.sent_embedder = nn.Dense(self.feature_dim, dtype=cfg.dtype, name="sent_embedder")
 
     def __call__(self, input_ids, attention_mask, images, train: bool = False):
         global_feat, local_map = self.cnn(images, train=train)
@@ -191,14 +196,14 @@ class GLoRIAModule(nn.Module):
 
         hidden = self.text_encoder(input_ids, attention_mask, deterministic=not train)
         mask_f = attention_mask.astype(jnp.float32)
-        sent_emb = jnp.sum(hidden * mask_f[:, :, None], axis=1) / jnp.clip(
+        pooled = jnp.sum(hidden * mask_f[:, :, None], axis=1) / jnp.clip(
             jnp.sum(mask_f, axis=1, keepdims=True), 1.0, None
         )
         return {
             "global_features": global_feat,
             "local_features": local_feat,
-            "word_embeddings": hidden,
-            "sent_embeddings": sent_emb,
+            "word_embeddings": self.word_embedder(hidden),
+            "sent_embeddings": self.sent_embedder(pooled),
             "words_mask": mask_f,
         }
 
