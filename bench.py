@@ -81,22 +81,22 @@ def main():
     @jax.jit
     def generate(variables, images):
         enc_h, enc_m = module.apply(variables, images, method=type(module).encode)
-        cache = module.apply(variables, enc_h, MAX_LEN, method=type(module).init_cache)
-        state = tile_for_beams(
-            {"cache": cache, "enc_mask": enc_m.astype(jnp.int32)}, BEAM
+        self_cache, cross_cache = module.apply(
+            variables, enc_h, MAX_LEN, method=type(module).init_cache
         )
+        self_cache = tile_for_beams(self_cache, BEAM)
+        cross_cache = tile_for_beams(cross_cache, BEAM)
+        enc_m = tile_for_beams(enc_m.astype(jnp.int32), BEAM)
 
-        def step_fn(tokens, st, index):
-            logits, new_cache = module.apply(
-                variables, tokens, st["cache"], st["enc_mask"], index,
+        def step_fn(tokens, self_cache, index):
+            logits, new_self = module.apply(
+                variables, tokens, self_cache, cross_cache, enc_m, index,
                 method=type(module).decode_step,
             )
-            return logits[:, -1].astype(jnp.float32), {
-                "cache": new_cache, "enc_mask": st["enc_mask"]
-            }
+            return logits[:, -1].astype(jnp.float32), new_self
 
         return beam_search(
-            step_fn, state, BATCH, BEAM, MAX_LEN, bos_id=0, eos_id=2, pad_id=1,
+            step_fn, self_cache, BATCH, BEAM, MAX_LEN, bos_id=0, eos_id=2, pad_id=1,
             length_penalty=1.0,
         ).sequences
 

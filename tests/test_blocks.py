@@ -51,7 +51,7 @@ def test_incremental_decode_matches_teacher_forcing():
 
     full_logits = dec.apply({"params": params}, ids, mask, enc, enc_mask)
 
-    cache = dec.apply(
+    self_cache, cross_cache = dec.apply(
         {"params": params},
         encoder_hidden_states=enc,
         mode="init_cache",
@@ -59,12 +59,12 @@ def test_incremental_decode_matches_teacher_forcing():
     )
     step_logits = []
     for i in range(t):
-        logits, cache = dec.apply(
+        logits, self_cache = dec.apply(
             {"params": params},
             ids[:, i: i + 1],
             encoder_attention_mask=enc_mask,
             mode="decode",
-            cache=cache,
+            cache=(self_cache, cross_cache),
             decode_index=jnp.asarray(i),
         )
         step_logits.append(logits[:, 0])
@@ -79,12 +79,12 @@ def test_cache_beam_gather():
     dec = TransformerDecoder(CFG)
     enc = jnp.ones((4, 3, 32))
     params = dec.init(jax.random.key(0), jnp.ones((4, 2), jnp.int32), None, enc, None)["params"]
-    cache = dec.apply(
+    self_cache, _cross = dec.apply(
         {"params": params}, encoder_hidden_states=enc, mode="init_cache", max_len=6
     )
     idx = jnp.array([1, 1, 0, 3])
-    reordered = jax.tree.map(lambda x: x[idx], cache)
-    assert reordered[0]["self_k"].shape == cache[0]["self_k"].shape
+    reordered = jax.tree.map(lambda x: x[idx], self_cache)
+    assert reordered[0]["self_k"].shape == self_cache[0]["self_k"].shape
 
 
 def test_encoder_shapes():

@@ -296,49 +296,47 @@ class TransformerDecoder(nn.Module):
         cfg = self.config
 
         if mode == "init_cache":
+            # Returns (self_cache, cross_cache). The self cache is the per-beam
+            # mutable decode state (gathered on beam reorder); the cross cache
+            # is beam-invariant — it stays OUT of the decode carry so the beam
+            # loop never gathers or rewrites it (a large fraction of per-step
+            # HBM traffic in the naive layout).
             b = encoder_hidden_states.shape[0]
             self_shape = (b, max_len, cfg.num_attention_heads, cfg.head_dim)
-            layers_cache = []
+            self_cache, cross_cache = [], []
             for layer in self.layers:
                 ck, cv = layer.cross_attn.kv(encoder_hidden_states.astype(cfg.dtype))
-                layers_cache.append(
+                self_cache.append(
                     {
                         "self_k": jnp.zeros(self_shape, cfg.dtype),
                         "self_v": jnp.zeros(self_shape, cfg.dtype),
-                        "cross_k": ck,
-                        "cross_v": cv,
                     }
                 )
-            return tuple(layers_cache)
+                cross_cache.append({"cross_k": ck, "cross_v": cv})
+            return tuple(self_cache), tuple(cross_cache)
 
         if mode == "decode":
-            # input_ids: (B, 1); cache: tuple of per-layer dicts; decode_index: scalar
+            # input_ids: (B, 1); cache: (self_cache tuple, cross_cache tuple)
+            self_cache_in, cross_cache = cache
             positions = jnp.full((1, 1), 0, jnp.int32) + decode_index
             h = self.embeddings(input_ids, positions, deterministic=True)
-            max_len = cache[0]["self_k"].shape[1]
+            max_len = self_cache_in[0]["self_k"].shape[1]
             self_bias = make_attention_bias(
                 causal=True, key_len=max_len, decode_index=decode_index
             )
             cross_bias = make_attention_bias(key_mask=encoder_attention_mask)
             new_cache = []
-            for layer, layer_cache in zip(self.layers, cache):
+            for layer, self_lc, cross_lc in zip(self.layers, self_cache_in, cross_cache):
                 h, new_self = layer(
                     h,
                     self_bias=self_bias,
                     cross_bias=cross_bias,
                     deterministic=True,
-                    self_cache={"k": layer_cache["self_k"], "v": layer_cache["self_v"]},
-                    cross_cache={"k": layer_cache["cross_k"], "v": layer_cache["cross_v"]},
+                    self_cache={"k": self_lc["self_k"], "v": self_lc["self_v"]},
+                    cross_cache={"k": cross_lc["cross_k"], "v": cross_lc["cross_v"]},
                     decode_index=decode_index,
                 )
-                new_cache.append(
-                    {
-                        "self_k": new_self["k"],
-                        "self_v": new_self["v"],
-                        "cross_k": layer_cache["cross_k"],
-                        "cross_v": layer_cache["cross_v"],
-                    }
-                )
+                new_cache.append({"self_k": new_self["k"], "self_v": new_self["v"]})
             logits = self.lm_head(h).astype(jnp.float32)
             return logits, tuple(new_cache)
 

@@ -46,6 +46,12 @@ class Trainor:
         self.early_stop_start = config.get("early_stop_start", 0)
         self.grad_accu = int(config.get("grad_accu", 1) or 1)
         self.clip_grad_norm = config.get("clip_grad_norm")
+        # hf_trainer-stack features (reference hf_trainer/callbacks.py:11-168,
+        # train.py:339-345): keep every epoch's checkpoint / evaluation-only mode
+        # / optional jax.profiler trace of a few early steps.
+        self.save_every_epoch = bool(config.get("save_every_epoch", False))
+        self.eval_only = bool(config.get("eval_only", False))
+        self.profile_dir = config.get("profile_dir")
 
         self.logger = logging.getLogger(str(seed))
         self.state_dict = load_checkpoint(self.ckpt) if self.ckpt else None
@@ -161,11 +167,20 @@ class Trainor:
 
     # ------------------------------------------------------------------
     def start(self):
+        import time
+
         config = self.config
         scheduler = self.training_scheduler
         epochs = int(config.epochs)
 
+        if self.eval_only:
+            # evaluation-only mode (reference hf_trainer/train.py eval path)
+            if self.evaluator is not None:
+                self.evaluator.start()
+            return
+
         for epoch in range(int(scheduler.epoch), epochs + 1):
+            epoch_t0 = time.perf_counter()
             self.dl.set_epoch(epoch)
             losses = []
             log = ""
@@ -174,6 +189,10 @@ class Trainor:
 
             custom_print = ""
             for iteration, batch in enumerate(self.dl, start=1):
+                if self.profile_dir and epoch == 0 and iteration == 3:
+                    jax.profiler.start_trace(self.profile_dir)
+                if self.profile_dir and epoch == 0 and iteration == 6:
+                    jax.profiler.stop_trace()
                 batch = shard_batch(self._model_batch(batch), self.mesh)
                 lr = jnp.asarray(scheduler.current_lr(), jnp.float32)
 
@@ -221,10 +240,13 @@ class Trainor:
 
                 if iteration % 10 == 0 or iteration == len(self.dl):
                     avg = float(np.mean(losses)) if losses else float("nan")
+                    elapsed = time.perf_counter() - epoch_t0
+                    eta = elapsed / iteration * (len(self.dl) - iteration)
                     log = (
                         f"Epoch {epoch + 1}, Lr {scheduler.current_lr():.3g}, "
                         f"Loss {avg:.4f}, {scheduler.early_stop_metric} "
-                        f"{scheduler.current_best_metric:.4g}, ES {scheduler.early_stop} "
+                        f"{scheduler.current_best_metric:.4g}, ES {scheduler.early_stop}, "
+                        f"{iteration}/{len(self.dl)} it, ETA {eta:.0f}s "
                         f"{custom_print}"
                     )
 
@@ -269,6 +291,23 @@ class Trainor:
             ret = scheduler.eval_step(
                 decay_metric=decay_metric, early_stop_score=early_stop_score
             )
+            if self.save_every_epoch and jax.process_index() == 0:
+                # seed-stamped per-epoch checkpoint (reference
+                # hf_trainer/callbacks.py EpochCheckpointCallback)
+                from .checkpoint import save_checkpoint
+
+                path = f"{self.ckpt_dir}/epoch_{epoch + 1}_{self.seed}.ckpt"
+                save_checkpoint(
+                    path,
+                    {
+                        "model": self.model.variables,
+                        "opt_state": self.state.opt_state,
+                        "training_scheduler": scheduler.state_dict(),
+                        "config": config.to_dict() if hasattr(config, "to_dict") else dict(config),
+                        "__version__": __version__,
+                    },
+                )
+                self.logger.info(f"{path} saved.")
             if ret["save_state"] and jax.process_index() == 0:
                 self.saver.save(
                     payload={

@@ -38,41 +38,46 @@ def make_generate_fn(models, beam_width, max_len, bos_id, eos_id, pad_id, length
     @jax.jit
     def generate(variables_list, enc_inputs):
         batch_size = jax.tree.leaves(enc_inputs)[0].shape[0]
-        states = []
+        tiling = beam_width if beam_width and beam_width > 1 else 1
+        self_caches, invariants = [], []
         for module, method, variables in zip(modules, encode_methods, variables_list):
             enc_h, enc_m = module.apply(variables, **enc_inputs, method=method)
-            cache = module.apply(
+            self_cache, cross_cache = module.apply(
                 variables, enc_h, max_len, method=type(module).init_cache
             )
-            states.append({"cache": cache, "enc_mask": enc_m.astype(jnp.int32)})
+            enc_m = enc_m.astype(jnp.int32)
+            if tiling > 1:
+                self_cache = tile_for_beams(self_cache, tiling)
+                cross_cache = tile_for_beams(cross_cache, tiling)
+                enc_m = tile_for_beams(enc_m, tiling)
+            self_caches.append(self_cache)
+            # cross K/V and encoder mask are beam-invariant: closed over, never
+            # gathered in the decode loop (reference reorders every cache,
+            # beam_search.py:312-319 — here only the self cache moves).
+            invariants.append((cross_cache, enc_m))
 
-        if beam_width and beam_width > 1:
-            states = tile_for_beams(states, beam_width)
-
-        def step_fn(tokens, states, index):
+        def step_fn(tokens, self_caches, index):
             logits_sum = 0.0
             new_states = []
-            for module, variables, st in zip(modules, variables_list, states):
-                logits, new_cache = module.apply(
-                    variables,
-                    tokens,
-                    st["cache"],
-                    st["enc_mask"],
-                    index,
+            for module, variables, self_cache, (cross_cache, enc_m) in zip(
+                modules, variables_list, self_caches, invariants
+            ):
+                logits, new_self = module.apply(
+                    variables, tokens, self_cache, cross_cache, enc_m, index,
                     method=type(module).decode_step,
                 )
                 logits_sum = logits_sum + logits[:, -1].astype(jnp.float32)
-                new_states.append({"cache": new_cache, "enc_mask": st["enc_mask"]})
+                new_states.append(new_self)
             return logits_sum, new_states
 
-        if beam_width and beam_width > 1:
+        if tiling > 1:
             result = beam_search(
-                step_fn, states, batch_size, beam_width, max_len,
+                step_fn, self_caches, batch_size, beam_width, max_len,
                 bos_id, eos_id, pad_id, length_penalty=length_penalty,
             )
             return result.sequences
         return greedy_search(
-            step_fn, states, batch_size, max_len, bos_id, eos_id, pad_id,
+            step_fn, self_caches, batch_size, max_len, bos_id, eos_id, pad_id,
             forced_eos=False,
         ).sequences
 

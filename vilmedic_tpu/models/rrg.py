@@ -45,16 +45,17 @@ class RRGModule(nn.Module):
         return enc_hidden, enc_mask
 
     def init_cache(self, enc_hidden, max_len):
+        """-> (self_cache, cross_cache): mutable beam state vs loop-invariants."""
         return self.dec(
             encoder_hidden_states=enc_hidden, mode="init_cache", max_len=max_len
         )
 
-    def decode_step(self, tokens, cache, enc_mask, index):
+    def decode_step(self, tokens, self_cache, cross_cache, enc_mask, index):
         return self.dec(
             tokens,
             encoder_attention_mask=enc_mask,
             mode="decode",
-            cache=cache,
+            cache=(self_cache, cross_cache),
             decode_index=index,
         )
 

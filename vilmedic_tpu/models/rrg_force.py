@@ -47,20 +47,20 @@ def evaluation_force(models, config, dl, from_training=True, **kwargs) -> Dict:
     @jax.jit
     def generate(variables, enc_inputs, force_ids):
         enc_h, enc_m = module.apply(variables, **enc_inputs, method=type(module).encode)
-        cache = module.apply(variables, enc_h, max_len, method=type(module).init_cache)
-        state = {"cache": cache, "enc_mask": enc_m.astype(jnp.int32)}
+        self_cache, cross_cache = module.apply(
+            variables, enc_h, max_len, method=type(module).init_cache
+        )
+        enc_m = enc_m.astype(jnp.int32)
 
-        def step_fn(tokens, st, index):
-            logits, new_cache = module.apply(
-                variables, tokens, st["cache"], st["enc_mask"], index,
+        def step_fn(tokens, self_cache, index):
+            logits, new_self = module.apply(
+                variables, tokens, self_cache, cross_cache, enc_m, index,
                 method=type(module).decode_step,
             )
-            return logits[:, -1].astype(jnp.float32), {
-                "cache": new_cache, "enc_mask": st["enc_mask"]
-            }
+            return logits[:, -1].astype(jnp.float32), new_self
 
         return constrained_greedy_search(
-            step_fn, state, enc_h.shape[0], max_len, bos_id, eos_id, pad_id,
+            step_fn, self_cache, enc_h.shape[0], max_len, bos_id, eos_id, pad_id,
             force_ids,
         ).sequences
 

@@ -116,27 +116,23 @@ class _SCSTBase(TaskModel):
             enc_m = enc_m.astype(jnp.int32)
             batch = enc_h.shape[0]
 
-            def make_step(var):
-                def step_fn(tokens, st, index):
-                    logits, new_cache = module.apply(
-                        var, tokens, st["cache"], st["enc_mask"], index,
-                        method=type(module).decode_step,
-                    )
-                    return logits[:, -1].astype(jnp.float32), {
-                        "cache": new_cache, "enc_mask": st["enc_mask"]
-                    }
-                return step_fn
+            self_cache, cross_cache = module.apply(
+                variables, enc_h, max_len, method=type(module).init_cache
+            )
 
-            cache = module.apply(variables, enc_h, max_len, method=type(module).init_cache)
-            st = {"cache": cache, "enc_mask": enc_m}
+            def step_fn(tokens, self_cache, index):
+                logits, new_self = module.apply(
+                    variables, tokens, self_cache, cross_cache, enc_m, index,
+                    method=type(module).decode_step,
+                )
+                return logits[:, -1].astype(jnp.float32), new_self
+
             greedy = greedy_search(
-                make_step(variables), st, batch, max_len, bos, eos, pad,
+                step_fn, self_cache, batch, max_len, bos, eos, pad,
                 forced_eos=True,
             ).sequences
-            cache2 = module.apply(variables, enc_h, max_len, method=type(module).init_cache)
-            st2 = {"cache": cache2, "enc_mask": enc_m}
             sampled = sample(
-                make_step(variables), st2, batch, max_len, bos, eos, pad,
+                step_fn, self_cache, batch, max_len, bos, eos, pad,
                 rng=rng, top_k=top_k, bad_words=bad_words, forced_eos=True,
             ).sequences
             return greedy, sampled

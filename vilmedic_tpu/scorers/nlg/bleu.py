@@ -69,14 +69,22 @@ def _bleu_from_stats(testlen, reflen, guess, correct, n) -> List[float]:
 
 @register("scorer", "Bleu")
 class Bleu:
-    def __init__(self, n: int = 4, **kwargs):
+    def __init__(self, n: int = 4, use_native: bool = True, **kwargs):
         self._n = n
+        self._use_native = use_native
 
     def __call__(self, refs: List[str], hyps: List[str]) -> Tuple[float, List[float]]:
         return self.compute_score(refs, hyps)
 
     def compute_score(self, refs, hyps):
         n = self._n
+        if self._use_native and refs and not isinstance(refs[0], list):
+            # hot path (SCST rewards): C++ core, identical semantics
+            from .native import bleu_native
+
+            result = bleu_native(list(refs), list(hyps), n)
+            if result is not None:
+                return result
         tot_testlen = tot_reflen = 0
         tot_guess = [0] * n
         tot_correct = [0] * n
