@@ -1,0 +1,65 @@
+#!/usr/bin/env python
+"""Download CLI for preprocessed datasets and model-zoo checkpoints.
+
+Parity with reference bin/scripts/vilmedic-download:8-18: a named table of
+downloadable artifacts. This environment has no network egress, so the CLI
+lists the catalog and verifies local-cache presence; with egress it downloads
+via huggingface_hub into the cache dirs used by ``AutoModel``/datasets.
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from vilmedic_tpu.constants import DATA_ZOO_CACHE_DIR, MODEL_ZOO_CACHE_DIR
+from vilmedic_tpu.zoo.modeling_auto import MODEL_ZOO
+
+DATA_ZOO = {
+    "RRG/mimic-cxr": "MIMIC-CXR impression sections + image lists",
+    "RRG/indiana": "Indiana (Open-I) reports + image lists",
+    "RRG/padchest": "PadChest reports + image lists",
+    "RRS/mimic-cxr": "MIMIC-CXR findings/impression pairs",
+    "SELFSUP/mimic-cxr": "MIMIC-CXR report/image pairs for pretraining",
+    "MVQA/imageclef": "ImageCLEF VQA-Med",
+}
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("name", nargs="?", help="catalog entry to fetch")
+    parser.add_argument("--list", action="store_true")
+    args = parser.parse_args(argv)
+
+    if args.list or not args.name:
+        print("Datasets:")
+        for k, v in DATA_ZOO.items():
+            cached = os.path.isdir(os.path.join(DATA_ZOO_CACHE_DIR, k))
+            print(f"  [{'cached' if cached else '      '}] {k}: {v}")
+        print("Models:")
+        for k, v in MODEL_ZOO.items():
+            cached = os.path.isdir(os.path.join(MODEL_ZOO_CACHE_DIR, k))
+            print(f"  [{'cached' if cached else '      '}] {k}: {v}")
+        return
+
+    target_root = MODEL_ZOO_CACHE_DIR if args.name in MODEL_ZOO else DATA_ZOO_CACHE_DIR
+    target = os.path.join(target_root, args.name)
+    if os.path.isdir(target):
+        print(f"{args.name} already cached at {target}")
+        return
+    try:
+        from huggingface_hub import snapshot_download
+
+        snapshot_download(f"vilmedic/{args.name.replace('/', '-')}",
+                          local_dir=target)
+        print(f"downloaded to {target}")
+    except Exception as e:
+        raise SystemExit(
+            f"Cannot download {args.name!r} (no network egress in this "
+            f"environment?): {e}\nPlace the files manually under {target}."
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -213,6 +213,27 @@ def load_yaml(path: str) -> Dict[str, Any]:
     return data or {}
 
 
+def _load_with_includes(path: str) -> Dict[str, Any]:
+    """Load a YAML file and recursively expand its ``includes:`` list, merged
+    lowest-precedence-first, the file itself winning (reference
+    bin/utils.py:104-121; recursion is a robustness improvement — the reference
+    only expands one level)."""
+    config = load_yaml(path)
+    includes = config.get("includes", []) or []
+    if not isinstance(includes, (list, tuple)):
+        raise AttributeError(f"Includes must be a list, {type(includes)} provided")
+
+    include_mapping: Dict[str, Any] = {}
+    for include in includes:
+        if not os.path.exists(include):
+            include = os.path.join(os.path.dirname(path), include)
+        include_mapping = merge_dicts(include_mapping, _load_with_includes(include))
+
+    config = merge_dicts(include_mapping, config)
+    config.pop("includes", None)
+    return config
+
+
 def load_config(path: str, dotlist: Optional[List[str]] = None) -> Tuple[Config, Config]:
     """Load a YAML config with ``includes:`` and dotlist overrides.
 
@@ -220,23 +241,7 @@ def load_config(path: str, dotlist: Optional[List[str]] = None) -> Tuple[Config,
     includes merge lowest-precedence-first, the file itself overrides its includes,
     the dotlist overrides everything, then numeric strings are coerced.
     """
-    config = load_yaml(path)
-    includes = config.get("includes", [])
-    if includes is None:
-        includes = []
-    if not isinstance(includes, (list, tuple)):
-        raise AttributeError(
-            f"Includes must be a list, {type(includes)} provided"
-        )
-
-    include_mapping: Dict[str, Any] = {}
-    for include in includes:
-        if not os.path.exists(include):
-            include = os.path.join(os.path.dirname(path), include)
-        include_mapping = merge_dicts(include_mapping, load_yaml(include))
-
-    config = merge_dicts(include_mapping, config)
-    config.pop("includes", None)
+    config = _load_with_includes(path)
 
     override = apply_dotlist({}, list(dotlist or []))
     config = merge_dicts(config, override)

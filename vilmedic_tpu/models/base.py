@@ -35,6 +35,37 @@ def get_special_token_ids(model_config, tokenizer) -> Tuple[int, int, int]:
     return int(bos), int(eos), int(pad)
 
 
+def resolve_block_config(block_cfg) -> dict:
+    """Resolve a reference-style encoder/decoder block config.
+
+    ``proto: <hf-name>`` pulls the architecture hyperparameters from the
+    locally cached HF config (the reference instantiates the full pretrained
+    model, decoder_model.py:15-21; weights are not fetchable offline, so only
+    the architecture transfers); ``proto: null`` keeps the explicit keys.
+    """
+    from ..config.config import Config
+
+    if isinstance(block_cfg, Config):
+        block_cfg = block_cfg.to_dict()
+    block_cfg = dict(block_cfg or {})
+    proto = block_cfg.pop("proto", None)
+    if isinstance(proto, str) and proto:
+        try:
+            from transformers import AutoConfig
+
+            hf = AutoConfig.from_pretrained(proto, local_files_only=True).to_dict()
+            hf.update(block_cfg)  # explicit keys win
+            return hf
+        except Exception:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                f"Pretrained config {proto!r} not in local cache; "
+                f"using explicit keys/defaults"
+            )
+    return block_cfg
+
+
 class TaskModel:
     module = None
     eval_func = None

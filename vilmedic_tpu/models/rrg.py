@@ -17,7 +17,7 @@ import jax.numpy as jnp
 from ..blocks.transformer import TransformerConfig, TransformerDecoder, causal_lm_loss
 from ..blocks.vision.visual_encoder import VisualEncoder, build_visual_encoder
 from ..registry import register
-from .base import TaskModel
+from .base import TaskModel, resolve_block_config
 from .evaluation_nlg import evaluation
 
 
@@ -77,7 +77,7 @@ class RRG(TaskModel):
         if dl is not None:
             vocab_size = dl.dataset.tokenizer.vocab_size
         self.dec_config = TransformerConfig.from_dict(
-            decoder,
+            resolve_block_config(decoder),
             **({"vocab_size": vocab_size} if vocab_size else {}),
             add_cross_attention=True,
             dtype=compute_dtype,

@@ -19,7 +19,7 @@ from ..blocks.transformer import (
     causal_lm_loss,
 )
 from ..registry import register
-from .base import TaskModel
+from .base import TaskModel, resolve_block_config
 from .evaluation_nlg import evaluation
 
 
@@ -85,12 +85,12 @@ class RRS(TaskModel):
         enc_vocab = dl.dataset.src.tokenizer.vocab_size if dl is not None else None
         dec_vocab = dl.dataset.tgt.tokenizer.vocab_size if dl is not None else None
         self.enc_config = TransformerConfig.from_dict(
-            encoder,
+            resolve_block_config(encoder),
             **({"vocab_size": enc_vocab} if enc_vocab else {}),
             dtype=compute_dtype,
         )
         self.dec_config = TransformerConfig.from_dict(
-            decoder,
+            resolve_block_config(decoder),
             **({"vocab_size": dec_vocab} if dec_vocab else {}),
             add_cross_attention=True,
             dtype=compute_dtype,

@@ -29,7 +29,7 @@ from ..blocks.transformer import TransformerConfig, TransformerEncoder
 from ..blocks.vision.resnet import ResNet, STAGE_SIZES, BasicBlock, BottleneckBlock
 from ..blocks.vision.visual_encoder import build_visual_encoder
 from ..config.config import Config
-from .base import TaskModel
+from .base import TaskModel, resolve_block_config
 
 
 def _d(cfg):
@@ -120,7 +120,7 @@ class ConVIRT(TaskModel):
 
         vocab_size = dl.dataset.tokenizer.vocab_size if dl is not None else None
         self.enc_config = TransformerConfig.from_dict(
-            encoder, **({"vocab_size": vocab_size} if vocab_size else {}),
+            resolve_block_config(encoder), **({"vocab_size": vocab_size} if vocab_size else {}),
             dtype=compute_dtype,
         )
         self.loss_fn = registry.get("loss", loss.pop("proto"))(**loss)
@@ -249,7 +249,8 @@ class GLoRIA(TaskModel):
 
         vocab_size = dl.dataset.tokenizer.vocab_size if dl is not None else None
         self.enc_config = TransformerConfig.from_dict(
-            encoder, **({"vocab_size": vocab_size} if vocab_size else {}),
+            resolve_block_config(encoder),
+            **({"vocab_size": vocab_size} if vocab_size else {}),
             dtype=compute_dtype,
         )
         self.tokenizer = dl.dataset.tokenizer if dl is not None else None
