@@ -7,3 +7,4 @@ from .rrg_force import RRG_FORCE  # noqa: F401
 from .rrs import RRS  # noqa: F401
 from .scst_models import RRG_SCST, RRS_SCST  # noqa: F401
 from .selfsup import ConVIRT, GLoRIA  # noqa: F401
+from .vision_language import VisionLanguage  # noqa: F401

@@ -1,0 +1,278 @@
+"""VisionLanguage: frozen vision backbone + prefix-conditioned causal LM.
+
+Parity with reference hf_trainer/models/vision_language_modernbert/model.py:11-283:
+a frozen ViT-style backbone, a 2-layer GELU MLP projecting patch features into
+the LM embedding space, a learned image-marker token prepended to the projected
+patches, and a decoder-only causal LM conditioned on that prefix; the LM loss
+covers only text positions; generation decodes autoregressively after a one-shot
+**prefill** of the image prefix into the KV cache.
+
+TPU-native: prefill writes the whole prefix's K/V with one
+``dynamic_update_slice`` per layer inside a single jitted call; decode steps are
+the same ``lax.while_loop`` machinery as the cross-attention models.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import registry
+from ..blocks.transformer import (
+    Embeddings,
+    FeedForward,
+    MultiHeadAttention,
+    TransformerConfig,
+    _dense,
+)
+from ..blocks.vision.visual_encoder import build_visual_encoder
+from ..config.config import Config
+from ..decoding import beam_search, greedy_search, tile_for_beams
+from ..ops.attention import make_attention_bias
+from .base import TaskModel, get_special_token_ids, resolve_block_config
+
+
+class CausalLayer(nn.Module):
+    """Self-attention-only transformer layer with decode cache support."""
+
+    config: TransformerConfig
+
+    def setup(self):
+        cfg = self.config
+        self.self_attn = MultiHeadAttention(cfg, cross=False, name="self_attn")
+        self.self_ln = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=cfg.dtype, name="self_ln")
+        self.ffn = FeedForward(cfg, name="ffn")
+        self.ffn_ln = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=cfg.dtype, name="ffn_ln")
+        self.dropout = nn.Dropout(cfg.hidden_dropout_prob)
+
+    def __call__(self, x, bias=None, deterministic=True, cache=None, decode_index=None):
+        attn, new_cache = self.self_attn(
+            x, bias=bias, cache=cache, decode_index=decode_index
+        )
+        x = self.self_ln(x + self.dropout(attn, deterministic=deterministic))
+        x = self.ffn_ln(x + self.ffn(x, deterministic=deterministic))
+        return x, new_cache
+
+
+class VisionLanguageModule(nn.Module):
+    cfg: TransformerConfig
+    vision: nn.Module  # VisualEncoder (frozen)
+    num_image_tokens: int  # static prefix length incl. the marker token
+
+    def setup(self):
+        cfg = self.cfg
+        self.embeddings = Embeddings(cfg, name="embeddings")
+        self.layers = [CausalLayer(cfg, name=f"layer_{i}") for i in range(cfg.num_hidden_layers)]
+        self.lm_head = _dense(cfg, cfg.vocab_size, "lm_head")
+        self.proj_fc1 = _dense(cfg, cfg.hidden_size, "proj_fc1")
+        self.proj_fc2 = _dense(cfg, cfg.hidden_size, "proj_fc2")
+        self.image_token_embedding = self.param(
+            "image_token_embedding", nn.initializers.normal(0.02),
+            (1, 1, cfg.hidden_size), jnp.float32,
+        )
+
+    def image_prefix(self, images, train: bool = False):
+        """(B, P, D): marker token + projected patch features (reference :81-106)."""
+        feats = self.vision(images, train=False)  # frozen backbone
+        feats = jax.lax.stop_gradient(feats)
+        proj = self.proj_fc2(nn.gelu(self.proj_fc1(feats)))
+        b = proj.shape[0]
+        marker = jnp.tile(self.image_token_embedding.astype(proj.dtype), (b, 1, 1))
+        return jnp.concatenate([marker, proj], axis=1)
+
+    def _text_embed(self, input_ids, offset):
+        t = input_ids.shape[1]
+        positions = jnp.arange(t)[None, :] + offset
+        return self.embeddings(input_ids, positions, deterministic=True)
+
+    def __call__(self, images, input_ids, attention_mask, train: bool = False):
+        """Teacher-forced LM loss over text positions only (reference :120-180)."""
+        cfg = self.cfg
+        prefix = self.image_prefix(images, train=train)
+        p = prefix.shape[1]
+        t = input_ids.shape[1]
+        positions = jnp.arange(t)[None, :] + p
+        text = self.embeddings(input_ids, positions, deterministic=not train)
+        h = jnp.concatenate([prefix.astype(text.dtype), text], axis=1)
+
+        total = p + t
+        key_mask = jnp.concatenate(
+            [jnp.ones((h.shape[0], p), jnp.int32), attention_mask], axis=1
+        )
+        bias = make_attention_bias(
+            key_mask=key_mask, causal=True, query_len=total, key_len=total
+        )
+        for layer in self.layers:
+            h, _ = layer(h, bias=bias, deterministic=not train)
+        logits = self.lm_head(h[:, p:]).astype(jnp.float32)
+
+        from ..blocks.transformer import causal_lm_loss
+
+        loss = causal_lm_loss(logits, input_ids, attention_mask)
+        return {"loss": loss, "logits": logits}
+
+    def prefill(self, images, max_text_len):
+        """Run the image prefix through the stack, writing its K/V into
+        pre-allocated caches; returns (cache, prefix_len)."""
+        cfg = self.cfg
+        prefix = self.image_prefix(images, train=False)
+        b, p, _ = prefix.shape
+        total = p + max_text_len
+        bias = make_attention_bias(causal=True, query_len=p, key_len=p)
+
+        h = prefix.astype(cfg.dtype)
+        caches = []
+        for layer in self.layers:
+            # compute this layer's prefix K/V by writing into a zeroed cache
+            zero = {
+                "k": jnp.zeros((b, total, cfg.num_attention_heads, cfg.head_dim), cfg.dtype),
+                "v": jnp.zeros((b, total, cfg.num_attention_heads, cfg.head_dim), cfg.dtype),
+            }
+            h, new_cache = layer(
+                h, bias=_pad_bias(bias, total), deterministic=True,
+                cache=zero, decode_index=jnp.asarray(0),
+            )
+            caches.append({"self_k": new_cache["k"], "self_v": new_cache["v"]})
+        return tuple(caches), p
+
+    def decode_step(self, tokens, cache, index, prefix_len):
+        """One-token decode at absolute position prefix_len + index."""
+        cfg = self.cfg
+        abs_index = prefix_len + index
+        h = self._text_embed(tokens, abs_index)
+        total = cache[0]["self_k"].shape[1]
+        bias = make_attention_bias(causal=True, key_len=total, decode_index=abs_index)
+        new_cache = []
+        for layer, lc in zip(self.layers, cache):
+            h, new_self = layer(
+                h, bias=bias, deterministic=True,
+                cache={"k": lc["self_k"], "v": lc["self_v"]},
+                decode_index=abs_index,
+            )
+            new_cache.append({"self_k": new_self["k"], "self_v": new_self["v"]})
+        return self.lm_head(h).astype(jnp.float32), tuple(new_cache)
+
+
+def _pad_bias(bias, total_keys):
+    """Extend a (.., P, P) causal bias to (.., P, total) with -inf on the
+    not-yet-written key slots."""
+    from ..ops.attention import NEG_INF
+
+    p = bias.shape[-1]
+    pad = jnp.full(bias.shape[:-1] + (total_keys - p,), NEG_INF, bias.dtype)
+    return jnp.concatenate([bias, pad], axis=-1)
+
+
+def vl_evaluation(models, config, dl, from_training=True, **kwargs) -> Dict[str, Any]:
+    model = models[0]
+    module = model.module
+    dataset = dl.dataset
+    tokenizer = dataset.tokenizer
+    max_len = int(dataset.tokenizer_max_len)
+    bos_id, eos_id, pad_id = get_special_token_ids(model.dec_config, tokenizer)
+    beam_width = int(config.get("beam_width", 1) or 1)
+    length_penalty = float(config.get("length_penalty") or 1.0)
+
+    @jax.jit
+    def generate(variables, images):
+        cache, prefix_len = module.apply(
+            variables, images, max_len, method=type(module).prefill
+        )
+        batch = images.shape[0]
+        if beam_width > 1:
+            cache = tile_for_beams(cache, beam_width)
+
+        def step_fn(tokens, cache, index):
+            logits, new_cache = module.apply(
+                variables, tokens, cache, index, prefix_len,
+                method=type(module).decode_step,
+            )
+            return logits[:, -1].astype(jnp.float32), new_cache
+
+        if beam_width > 1:
+            return beam_search(
+                step_fn, cache, batch, beam_width, max_len, bos_id, eos_id,
+                pad_id, length_penalty,
+            ).sequences
+        return greedy_search(
+            step_fn, cache, batch, max_len, bos_id, eos_id, pad_id,
+            forced_eos=False,
+        ).sequences
+
+    refs, hyps = [], []
+    for batch in dl:
+        seqs = np.asarray(generate(model.variables, jnp.asarray(batch["images"])))
+        for h, r in zip(seqs, batch["input_ids"]):
+            hyps.append(tokenizer.decode(h, skip_special_tokens=True,
+                                         clean_up_tokenization_spaces=False))
+            refs.append(tokenizer.decode(r, skip_special_tokens=True,
+                                         clean_up_tokenization_spaces=False))
+    return {"refs": refs, "hyps": hyps}
+
+
+@registry.register("model")
+class VisionLanguage(TaskModel):
+    """proto ``VisionLanguage``: the hf_trainer stack's VLM as a native model."""
+
+    def __init__(self, decoder=None, vision=None, dl=None, logger=None,
+                 from_training=True, dtype="float32", **kwargs):
+        compute_dtype = jnp.bfloat16 if str(dtype) in ("bfloat16", "bf16") else jnp.float32
+        decoder_args = resolve_block_config(decoder or {})
+        vision = _d(vision or {})
+
+        tok_overrides = {}
+        if dl is not None:
+            tokenizer = dl.dataset.tokenizer
+            tok_overrides = dict(
+                vocab_size=tokenizer.vocab_size,
+                bos_token_id=tokenizer.cls_token_id,
+                eos_token_id=tokenizer.sep_token_id,
+                pad_token_id=tokenizer.pad_token_id,
+            )
+        self.dec_config = TransformerConfig.from_dict(
+            decoder_args, **tok_overrides, dtype=compute_dtype
+        )
+        vision.setdefault("proto", "VisualEncoder")
+        vision.setdefault("backbone", "vit")
+        vision.setdefault("permute", "no_permute")
+        vision.setdefault("freeze", True)
+        enc = build_visual_encoder(vision, dtype=compute_dtype)
+
+        image_size = vision.get("image_size", 224)
+        patch = vision.get("patch_size", 16)
+        num_image_tokens = (image_size // patch) ** 2 + 2  # cls + marker
+        self.module = VisionLanguageModule(
+            cfg=self.dec_config, vision=enc, num_image_tokens=num_image_tokens
+        )
+        self.eval_func = vl_evaluation
+        self.variables: Optional[Dict] = None
+
+    def init_variables(self, rng, batch):
+        return self.module.init(
+            {"params": rng, "dropout": rng},
+            batch["images"], batch["input_ids"], batch["attention_mask"],
+            train=False,
+        )
+
+    def apply_train(self, variables, batch, rng, train: bool = True):
+        kwargs = {"train": train}
+        if train and rng is not None:
+            kwargs["rngs"] = {"dropout": rng}
+        out = self.module.apply(
+            variables, batch["images"], batch["input_ids"],
+            batch["attention_mask"], **kwargs,
+        )
+        return out, {}
+
+    def __repr__(self):
+        return "model: VisionLanguage (frozen ViT + prefix-conditioned causal LM)"
+
+
+def _d(cfg):
+    if isinstance(cfg, Config):
+        return cfg.to_dict()
+    return dict(cfg or {})
