@@ -210,8 +210,33 @@ class BeamResult(NamedTuple):
 
 
 def _gather_beams(tree, indices_flat: jnp.ndarray):
-    """Gather cache/beam state along the flattened (B*k) batch axis."""
-    return jax.tree.map(lambda x: jnp.take(x, indices_flat, axis=0), tree)
+    """Gather cache/beam state along the flattened (B*k) batch axis.
+
+    Large floating-point leaves (the KV caches) are permuted with a one-hot
+    matmul — on TPU, XLA's dynamic gather runs ~10x below HBM speed-of-light
+    for this access pattern, while a (rows x rows) one-hot contraction rides
+    the MXU at memory bandwidth. Exact: one nonzero per row. Small/int leaves
+    use the plain gather.
+    """
+    n = indices_flat.shape[0]
+    onehot = {}
+
+    def gather(x):
+        if (
+            x.ndim >= 2
+            and x.shape[0] == n
+            and jnp.issubdtype(x.dtype, jnp.floating)
+            and x.size >= (1 << 16)
+        ):
+            oh = onehot.get(x.dtype)
+            if oh is None:
+                oh = jax.nn.one_hot(indices_flat, n, dtype=x.dtype)
+                onehot[x.dtype] = oh
+            flat = x.reshape(n, -1)
+            return jnp.matmul(oh, flat, preferred_element_type=x.dtype).reshape(x.shape)
+        return jnp.take(x, indices_flat, axis=0)
+
+    return jax.tree.map(gather, tree)
 
 
 def tile_for_beams(tree, beam_size: int):
