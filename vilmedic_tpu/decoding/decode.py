@@ -287,14 +287,23 @@ def beam_search(
         tokens = lax.dynamic_slice(seqs, (0, 0, i), (b, k, 1)).reshape(b * k, 1)
         logits, new_caches = step_fn(tokens, caches, i)
         logits = logits[:, -1] if logits.ndim == 3 else logits
+        logits = logits.astype(jnp.float32)
         vocab = logits.shape[-1]
-        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-        logp = logp.reshape(b, k, vocab) + alive_logp[:, :, None]
-
-        flat = logp.reshape(b, k * vocab)
-        cand_scores, cand_idx = lax.top_k(flat, 2 * k)  # (B, 2k)
-        cand_beam = cand_idx // vocab
-        cand_token = cand_idx % vocab
+        # Two-stage selection without materializing the (B*k, V) log-softmax:
+        # top-2k of the raw logits per beam (argmax-invariant), normalized by
+        # the row logsumexp, then a second exact top-2k over the k*2k pool.
+        lse = jax.nn.logsumexp(logits, axis=-1)  # (B*k,)
+        r = min(2 * k, vocab)  # per-row candidates (tiny-vocab tests)
+        row_scores, row_idx = lax.top_k(logits, r)  # (B*k, r)
+        row_logp = row_scores - lse[:, None] + alive_logp.reshape(b * k)[:, None]
+        pool_scores = row_logp.reshape(b, k * r)
+        pool_tokens = row_idx.reshape(b, k * r)
+        pool_beams = jnp.repeat(jnp.arange(k), r)[None, :]
+        cand_scores, pool_sel = lax.top_k(pool_scores, 2 * k)  # (B, 2k)
+        cand_beam = jnp.take_along_axis(
+            jnp.broadcast_to(pool_beams, pool_tokens.shape), pool_sel, axis=1
+        )
+        cand_token = jnp.take_along_axis(pool_tokens, pool_sel, axis=1)
         is_eos = cand_token == eos_id
 
         # --- finished pool update -----------------------------------------
