@@ -28,7 +28,7 @@ import numpy as np
 
 ESTIMATED_A100_REFERENCE_REPORTS_PER_SEC = 5.0
 
-BATCH = int(os.environ.get("BENCH_BATCH", 16))
+BATCH = int(os.environ.get("BENCH_BATCH", 32))
 MAX_LEN = 100
 BEAM = 8
 VOCAB = 50265

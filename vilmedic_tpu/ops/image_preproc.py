@@ -22,6 +22,7 @@ XLA implementation (same math) on backends where Mosaic is unavailable.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -48,9 +49,15 @@ def _pallas_crop_normalize(images_u8, tops, lefts, crop, mean_row, std_row):
         i = pl.program_id(0)
         top = tops_ref[i]
         left3 = lefts_ref[i] * 3
-        block = img_ref[0, pl.ds(top, crop), pl.ds(left3, c3)]
-        x = block.astype(jnp.float32) * (1.0 / 255.0)
-        out_ref[0] = (x - mean_ref[:]) / std_ref[:]
+        # Row crop as a ref slice (sublane ds); column crop as a value-level
+        # dynamic_slice (Mosaic rejects dynamic lane offsets on refs), u8 cast
+        # staged through int32.
+        # Dynamic crops as roll+static-slice: this toolchain's Mosaic rejects
+        # dynamic `pl.ds` ref offsets, but dynamic rotates lower fine.
+        x = img_ref[0].astype(jnp.int32).astype(jnp.float32) * (1.0 / 255.0)
+        x = pltpu.roll(x, -top, axis=0)[:crop, :]
+        block = pltpu.roll(x, -left3, axis=1)[:, :c3]
+        out_ref[0] = (block - mean_ref[:]) / std_ref[:]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -107,7 +114,12 @@ def crop_normalize(
     flat = images_u8.reshape(b, r, r * 3)
     mean_row, std_row = _mean_std_rows(crop, mean, std)
     if use_pallas is None:
-        use_pallas = jax.default_backend() not in ("cpu",)
+        # Default to the XLA path: XLA fuses dynamic_slice+convert+normalize
+        # into one kernel already, and this image's Mosaic toolchain rejects
+        # dynamic `pl.ds` ref offsets (remote-compile crash), leaving only a
+        # slower roll-based formulation. The Pallas path stays available for
+        # experimentation via VILMEDIC_TPU_PALLAS_PREPROC=1.
+        use_pallas = os.environ.get("VILMEDIC_TPU_PALLAS_PREPROC") == "1"
     try:
         return _crop_normalize_impl(
             flat, tops.astype(jnp.int32), lefts.astype(jnp.int32),
