@@ -286,3 +286,32 @@ def test_rrg_multi_image(workdir, tmp_path):
     )
     trainor, evaluator = _run(config, 515156)
     assert "BLEU" in evaluator.scores[0]
+
+
+def test_rrg_device_preproc(workdir, tmp_path):
+    """u8-transfer device preprocessing path (ops/image_preproc north star)."""
+    config = _base_config(
+        workdir, tmp_path,
+        dataset={
+            "proto": "ImSeq",
+            "image": {"root": str(workdir), "file": "image.tok", "resize": 40,
+                      "crop": 32, "ext": ".jpg", "device_preproc": True},
+            "seq": {"root": str(workdir), "file": "report.tok", "source": "tgt",
+                    "tokenizer_max_len": 12},
+            "num_workers": 0,
+        },
+        model={
+            "proto": "RRG",
+            "decoder": dict(TINY_TRANSFORMER, proto=None),
+            "cnn": dict(TINY_VIT),
+        },
+        metrics=["BLEU"],
+        early_stop_metric="BLEU",
+        beam_width=2,
+    )
+    trainor, evaluator = _run(config, 515157)
+    assert "BLEU" in evaluator.scores[0]
+    # collate really produced u8 batches
+    batch = next(iter(trainor.dl))
+    assert batch["images_u8"].dtype.name == "uint8"
+    assert batch["images_u8"].shape[1:] == (40, 40, 3)

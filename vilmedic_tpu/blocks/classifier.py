@@ -40,11 +40,14 @@ def evaluation(models, config, dl, from_training=True, **kwargs) -> Dict:
         )
         apply_fns.append(fn)
 
+    from ..data.image import prepare_batch
+
     all_logits: List[np.ndarray] = []
     all_labels: List[np.ndarray] = []
     losses: List[List[float]] = []
 
     for batch in dl:
+        batch = prepare_batch(batch, dl.dataset)
         labels = batch["labels"]
         batch_logits = []
         batch_losses = []

@@ -92,6 +92,45 @@ class EvalTransform:
         return normalize(to_float_array(img)).astype(np.float32)
 
 
+class TrainTransformU8:
+    """Device-preproc host half: resize smaller edge -> center square -> random
+    flip, all in uint8. The random crop + normalize run on device
+    (ops/image_preproc.crop_normalize), so the batch crosses the host->device
+    link as uint8. NOTE: the random crop is drawn from the center square rather
+    than the full aspect-preserved image — a documented, opt-in deviation."""
+
+    def __init__(self, resize=256, crop=224, rng: Optional[np.random.Generator] = None):
+        self.resize = resize
+        self.crop = crop
+        self.rng = rng or np.random.default_rng()
+
+    def __call__(self, img: Image.Image) -> np.ndarray:
+        img = resize_pil(img, self.resize)
+        arr = np.asarray(img, dtype=np.uint8)
+        if arr.ndim == 2:
+            arr = np.repeat(arr[:, :, None], 3, axis=2)
+        h, w = arr.shape[:2]
+        top = (h - self.resize) // 2
+        left = (w - self.resize) // 2
+        arr = arr[top: top + self.resize, left: left + self.resize]
+        if self.rng.random() < 0.5:
+            arr = arr[:, ::-1]
+        return np.ascontiguousarray(arr)
+
+
+class EvalTransformU8:
+    """Device-preproc host half for eval: exact resize to (crop, crop) uint8."""
+
+    def __init__(self, crop=224):
+        self.crop = crop
+
+    def __call__(self, img: Image.Image) -> np.ndarray:
+        arr = np.asarray(resize_pil(img, (self.crop, self.crop)), dtype=np.uint8)
+        if arr.ndim == 2:
+            arr = np.repeat(arr[:, :, None], 3, axis=2)
+        return np.ascontiguousarray(arr)
+
+
 def get_transforms(
     split,
     resize,
@@ -100,6 +139,7 @@ def get_transforms(
     custom_transform_validate=None,
     ext=".jpg",
     called_by_ensemblor=False,
+    device_preproc=False,
 ):
     """Transform selection parity with reference ImageDataset.py:80-110; custom
     transforms are registry names, not ``eval`` strings."""
@@ -114,6 +154,8 @@ def get_transforms(
         return registry.get("transform", custom_transform_validate)()
     if ext in (".npy", ".npz"):
         return lambda x: np.asarray(x, dtype=np.float32)
+    if device_preproc:
+        return TrainTransformU8(resize, crop) if split == "train" else EvalTransformU8(crop)
     if split == "train":
         return TrainTransform(resize, crop)
     return EvalTransform(crop)
@@ -186,6 +228,31 @@ def vilmedic_collate(batch, multi_image: Optional[int] = None):
     }
 
 
+def prepare_batch(batch, dataset):
+    """Apply pending device-side preprocessing for a dataset's batches."""
+    image_ds = getattr(dataset, "image", None)
+    if image_ds is None and hasattr(dataset, "imgseq"):
+        image_ds = dataset.imgseq.image
+    if image_ds is not None and getattr(image_ds, "device_preproc", False):
+        return finalize_device_preproc(batch, image_ds.crop)
+    return batch
+
+
+def finalize_device_preproc(batch, crop: int):
+    """Convert a device-preproc batch (uint8 + crop offsets) into normalized
+    float ``images`` on device; no-op for already-float batches."""
+    if "images_u8" not in batch:
+        return batch
+    from ..ops.image_preproc import crop_normalize
+
+    batch = dict(batch)
+    images_u8 = batch.pop("images_u8")
+    tops = batch.pop("preproc_tops")
+    lefts = batch.pop("preproc_lefts")
+    batch["images"] = crop_normalize(images_u8, tops, lefts, crop)
+    return batch
+
+
 # ---------------------------------------------------------------------------
 # Dataset
 # ---------------------------------------------------------------------------
@@ -210,6 +277,7 @@ class ImageDataset:
         hf_local=None,
         hf_filter=None,
         inference_only=False,
+        device_preproc=False,
         **kwargs,
     ):
         assert split is not None, "Argument split cant be None"
@@ -228,6 +296,10 @@ class ImageDataset:
         self.crop = int(crop)
         self.ext = ext
         self.multi_image = multi_image or 0
+        self.device_preproc = bool(device_preproc)
+        assert not (self.device_preproc and self.multi_image > 1), (
+            "device_preproc does not support multi_image yet"
+        )
         self.images: Optional[List[List]] = None
 
         if file is not None:
@@ -248,6 +320,7 @@ class ImageDataset:
             custom_transform_validate,
             self.ext,
             bool(called_by_ensemblor),
+            device_preproc=self.device_preproc,
         )
 
     def __len__(self):
@@ -257,6 +330,29 @@ class ImageDataset:
         return {"image": [self.transform(open_image(im, self.ext)) for im in self.images[index]]}
 
     def get_collate_fn(self):
+        if self.device_preproc:
+            is_train = isinstance(self.transform, TrainTransformU8)
+            rng = np.random.default_rng()
+
+            def collate_fn(batch):
+                images = np.stack([np.asarray(s["image"][0]) for s in batch])
+                b, r = images.shape[0], images.shape[1]
+                span = max(r - self.crop, 0)
+                if is_train and span > 0:
+                    tops = rng.integers(0, span + 1, b).astype(np.int32)
+                    lefts = rng.integers(0, span + 1, b).astype(np.int32)
+                else:
+                    tops = np.zeros(b, np.int32)
+                    lefts = np.zeros(b, np.int32)
+                return {
+                    "images_u8": images,
+                    "preproc_tops": tops,
+                    "preproc_lefts": lefts,
+                    "images_mask": None,
+                }
+
+            return collate_fn
+
         def collate_fn(batch):
             return vilmedic_collate(batch, self.multi_image)
 

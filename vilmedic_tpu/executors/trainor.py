@@ -326,7 +326,11 @@ class Trainor:
 
     # ------------------------------------------------------------------
     def _model_batch(self, batch):
-        """Keep only array-valued entries the jitted step can consume."""
+        """Keep only array-valued entries the jitted step can consume, and run
+        pending device-side preprocessing (u8 -> normalized float images)."""
+        from ..data.image import prepare_batch
+
+        batch = prepare_batch(batch, self.dl.dataset)
         return {k: v for k, v in batch.items() if v is None or hasattr(v, "shape")}
 
     def _sync_model_variables(self):

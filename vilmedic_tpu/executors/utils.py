@@ -85,7 +85,9 @@ def create_model(
     )
     logger.settings(f"Model {type(model).__name__} created")
 
-    sample_batch = next(iter(dl))
+    from ..data.image import prepare_batch
+
+    sample_batch = prepare_batch(next(iter(dl)), dl.dataset)
     rng = jax.random.key(seed)
     variables = model.init_variables(rng, sample_batch)
     model.variables = variables

@@ -107,9 +107,12 @@ def evaluation(models, config, dl, from_training=True, **kwargs) -> Dict[str, An
     variables_list = [m.variables for m in models]
     batch_size = getattr(dl, "batch_size", None)
 
+    from ..data.image import prepare_batch
+
     ref_list: List[str] = []
     hyp_list: List[str] = []
     for batch in dl:
+        batch = prepare_batch(batch, dataset)
         n = batch[ref_key].shape[0]
         enc_inputs = models[0].encoder_inputs(batch)
         if batch_size and n < batch_size:  # static-shape padding for XLA
