@@ -23,6 +23,9 @@ def _softmax_f32(x: jnp.ndarray) -> jnp.ndarray:
     return unnorm / jnp.sum(unnorm, axis=-1, keepdims=True)
 
 
+FLASH_MIN_LEN = 1024  # route long non-causal attention through the Pallas kernel
+
+
 def dot_product_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -34,7 +37,23 @@ def dot_product_attention(
 
     q: (B, Tq, H, Dh), k/v: (B, Tk, H, Dh), bias broadcastable to (B, H, Tq, Tk).
     Scores and softmax are computed in f32 for stability regardless of compute dtype.
+
+    Long non-causal sequences (the multi-image patch-concat axis) stream through
+    the Pallas flash kernel instead of materializing the score matrix.
     """
+    key_bias_only = bias is None or (
+        bias.ndim == 4 and bias.shape[1] == 1 and bias.shape[2] == 1
+    )
+    if (
+        q.shape[1] >= FLASH_MIN_LEN
+        and k.shape[1] >= FLASH_MIN_LEN
+        and key_bias_only
+    ):
+        from .flash_attention import flash_attention
+
+        key_mask = None if bias is None else (bias[:, 0, 0, :] >= -0.5).astype(jnp.int32)
+        return flash_attention(q, k, v, key_mask=key_mask).astype(dtype)
+
     depth = q.shape[-1]
     q = q * (depth ** -0.5)
     scores = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
