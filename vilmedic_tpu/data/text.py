@@ -154,6 +154,32 @@ class TextDataset:
         batch = [{f"{self.source}_seq": " ".join(self.processing(s.strip()).split())} for s in seq]
         return self.get_collate_fn()(batch)
 
+    def show_length(self, out_path=None):
+        """Histogram of tokenizer vs whitespace sentence lengths
+        (reference TextDataset.py:141-161), saved as a PNG."""
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        tokenizer_len, sentence_len = [], []
+        for idx in range(len(self)):
+            sentence = self[idx][f"{self.source}_seq"]
+            ids = self.tokenizer(sentence, add_special_tokens=True)["input_ids"]
+            tokenizer_len.append(len(ids))
+            sentence_len.append(len(sentence.split()))
+        fig, ax = plt.subplots(1, 2, figsize=(10, 4))
+        ax[0].hist(tokenizer_len, bins=40)
+        ax[0].set_title("tokenizer_len")
+        ax[1].hist(sentence_len, bins=40)
+        ax[1].set_title("sentence_len")
+        out_path = out_path or os.path.join(
+            self.ckpt_dir or ".", f"length.{self.source}.png"
+        )
+        fig.savefig(out_path, dpi=100)
+        plt.close(fig)
+        return out_path
+
     def __repr__(self):
         return "TextDataset\n" + json.dumps(
             {

@@ -118,6 +118,21 @@ class RadEntityMatchExact:
         raise ScorerUnavailable("stanza radiology model unavailable")
 
 
+class GREEN:
+    """LLM-judge clinical error counter (reference NLG/green/green.py:12-228):
+    prompts the StanfordAIMI/GREEN causal LM to count clinical errors and
+    regex-parses the counts into a score, with a global pair->reward memo cache."""
+
+    _cache = {}
+
+    def __init__(self, model_name: str = "StanfordAIMI/GREEN-radllama2-7b", **kwargs):
+        self.model_name = model_name
+        _require(_hf_model_cached(model_name), "GREEN")
+
+    def __call__(self, refs: List[str], hyps: List[str]):
+        raise ScorerUnavailable("GREEN judge weights unavailable offline")
+
+
 class RadEntityNLI:
     """Entity match gated by NLI entailment (reference RadEntityNLI/RadEntityNLI.py)."""
 
