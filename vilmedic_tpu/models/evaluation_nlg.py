@@ -107,6 +107,22 @@ def evaluation(models, config, dl, from_training=True, **kwargs) -> Dict[str, An
     variables_list = [m.variables for m in models]
     batch_size = getattr(dl, "batch_size", None)
 
+    # Optional data-parallel generation (``shard_eval: true``): shard the eval
+    # batch over the local mesh so beam search runs SPMD (the analog of
+    # per-rank eval + gather, reference validator_accelerate.py:112-162).
+    # Off by default: the one-hot cache-reorder matmul is cross-batch, so the
+    # SPMD partitioner inserts per-step all-gathers; a shard_map beam search is
+    # the multi-chip path planned for a later round.
+    mesh = None
+    if config.get("shard_eval"):
+        import math
+
+        from ..parallel.mesh import get_mesh, shard_batch  # noqa: F401
+
+        n_dev = len(jax.devices())
+        data_size = math.gcd(int(batch_size or 1), n_dev) or 1
+        mesh = get_mesh(devices=jax.devices()[:data_size]) if data_size > 1 else None
+
     from ..data.image import prepare_batch
 
     ref_list: List[str] = []
@@ -118,6 +134,8 @@ def evaluation(models, config, dl, from_training=True, **kwargs) -> Dict[str, An
         if batch_size and n < batch_size:  # static-shape padding for XLA
             enc_inputs = {k: _pad_batch(v, batch_size) if v is not None else None
                           for k, v in enc_inputs.items()}
+        if mesh is not None:
+            enc_inputs = shard_batch(enc_inputs, mesh)
         seqs = np.asarray(generate(variables_list, enc_inputs))[:n]
         for h, r in zip(seqs, batch[ref_key]):
             hyp_list.append(
