@@ -1,0 +1,106 @@
+"""Architectural parity vs HuggingFace: converted weights reproduce HF logits.
+
+This is the strongest equivalence check available offline: a randomly
+initialized torch ``BertGenerationDecoder``/``Encoder`` (the reference's exact
+decoder block, reference decoder_model.py:22-26) is converted to the native
+Flax modules and must produce the same outputs on the same inputs.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from transformers import BertGenerationConfig
+from transformers.models.bert_generation import (
+    BertGenerationDecoder,
+    BertGenerationEncoder,
+)
+
+from vilmedic_tpu.blocks.transformer import (
+    TransformerConfig,
+    TransformerDecoder,
+    TransformerEncoder,
+)
+from vilmedic_tpu.zoo.convert import (
+    convert_bert_generation_decoder,
+    convert_bert_generation_encoder,
+)
+
+CFG_KW = dict(
+    vocab_size=64,
+    hidden_size=32,
+    num_hidden_layers=2,
+    num_attention_heads=4,
+    intermediate_size=64,
+    max_position_embeddings=32,
+    hidden_dropout_prob=0.0,
+    attention_probs_dropout_prob=0.0,
+    bos_token_id=0,
+    eos_token_id=2,
+    pad_token_id=1,
+)
+
+
+def test_decoder_matches_hf():
+    hf_cfg = BertGenerationConfig(**CFG_KW, is_decoder=True, add_cross_attention=True)
+    hf = BertGenerationDecoder(hf_cfg).eval()
+
+    b, t, s = 2, 7, 5
+    rng = np.random.default_rng(0)
+    ids = rng.integers(3, 64, (b, t))
+    enc_states = rng.normal(size=(b, s, 32)).astype(np.float32)
+    enc_mask = np.ones((b, s), np.int64)
+
+    with torch.no_grad():
+        hf_out = hf(
+            input_ids=torch.tensor(ids),
+            attention_mask=torch.ones(b, t, dtype=torch.long),
+            encoder_hidden_states=torch.tensor(enc_states),
+            encoder_attention_mask=torch.tensor(enc_mask),
+        ).logits.numpy()
+
+    sd = {k: v.numpy() for k, v in hf.state_dict().items()}
+    params = convert_bert_generation_decoder(sd, CFG_KW["num_hidden_layers"])
+
+    import jax.numpy as jnp
+
+    dec = TransformerDecoder(TransformerConfig(**{
+        k: v for k, v in CFG_KW.items() if k != "attention_probs_dropout_prob"
+    }, add_cross_attention=True))
+    logits = dec.apply(
+        {"params": params},
+        jnp.asarray(ids, jnp.int32),
+        jnp.ones((b, t), jnp.int32),
+        jnp.asarray(enc_states),
+        jnp.asarray(enc_mask, jnp.int32),
+    )
+    np.testing.assert_allclose(np.asarray(logits), hf_out, rtol=2e-4, atol=2e-4)
+
+
+def test_encoder_matches_hf():
+    hf_cfg = BertGenerationConfig(**CFG_KW)
+    hf = BertGenerationEncoder(hf_cfg).eval()
+
+    b, t = 2, 9
+    rng = np.random.default_rng(1)
+    ids = rng.integers(3, 64, (b, t))
+
+    with torch.no_grad():
+        hf_out = hf(
+            input_ids=torch.tensor(ids),
+            attention_mask=torch.ones(b, t, dtype=torch.long),
+        ).last_hidden_state.numpy()
+
+    sd = {k: v.numpy() for k, v in hf.state_dict().items()}
+    params = convert_bert_generation_encoder(sd, CFG_KW["num_hidden_layers"])
+
+    import jax.numpy as jnp
+
+    enc = TransformerEncoder(TransformerConfig(**{
+        k: v for k, v in CFG_KW.items() if k != "attention_probs_dropout_prob"
+    }))
+    out = enc.apply(
+        {"params": params}, jnp.asarray(ids, jnp.int32), jnp.ones((b, t), jnp.int32)
+    )
+    np.testing.assert_allclose(np.asarray(out), hf_out, rtol=2e-4, atol=2e-4)
