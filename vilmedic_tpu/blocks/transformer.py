@@ -48,6 +48,7 @@ class TransformerConfig:
     hidden_act: str = "gelu"
     initializer_range: float = 0.02
     add_cross_attention: bool = False
+    gradient_checkpointing: bool = False  # remat each layer (HF config key)
     dtype: Any = jnp.float32
 
     @classmethod
@@ -227,6 +228,8 @@ class DecoderLayer(nn.Module):
         cross_cache=None,
         decode_index=None,
     ):
+        # NOTE: callers pass every argument positionally — ``deterministic`` is
+        # a remat static_argnum when gradient_checkpointing is on.
         attn, new_self_cache = self.self_attn(
             x, bias=self_bias, cache=self_cache, decode_index=decode_index
         )
@@ -247,8 +250,14 @@ class TransformerEncoder(nn.Module):
     def setup(self):
         cfg = self.config
         self.embeddings = Embeddings(cfg, name="embeddings")
+        # remat trades recompute for activation memory (jax.checkpoint — the
+        # TPU-native realization of the HF gradient_checkpointing flag)
+        layer_cls = (
+            nn.remat(EncoderLayer, static_argnums=(3,))
+            if cfg.gradient_checkpointing else EncoderLayer
+        )
         self.layers = [
-            EncoderLayer(cfg, name=f"layer_{i}") for i in range(cfg.num_hidden_layers)
+            layer_cls(cfg, name=f"layer_{i}") for i in range(cfg.num_hidden_layers)
         ]
 
     def __call__(self, input_ids, attention_mask=None, deterministic=True):
@@ -257,7 +266,7 @@ class TransformerEncoder(nn.Module):
         h = self.embeddings(input_ids, positions, deterministic=deterministic)
         bias = make_attention_bias(key_mask=attention_mask, query_len=t, key_len=t)
         for layer in self.layers:
-            h = layer(h, bias=bias, deterministic=deterministic)
+            h = layer(h, bias, deterministic)
         return h
 
 
@@ -276,8 +285,12 @@ class TransformerDecoder(nn.Module):
     def setup(self):
         cfg = self.config
         self.embeddings = Embeddings(cfg, name="embeddings")
+        layer_cls = (
+            nn.remat(DecoderLayer, static_argnums=(5,))
+            if cfg.gradient_checkpointing else DecoderLayer
+        )
         self.layers = [
-            DecoderLayer(cfg, name=f"layer_{i}") for i in range(cfg.num_hidden_layers)
+            layer_cls(cfg, name=f"layer_{i}") for i in range(cfg.num_hidden_layers)
         ]
         self.lm_head = _dense(cfg, cfg.vocab_size, "lm_head")
 
@@ -329,12 +342,13 @@ class TransformerDecoder(nn.Module):
             for layer, self_lc, cross_lc in zip(self.layers, self_cache_in, cross_cache):
                 h, new_self = layer(
                     h,
-                    self_bias=self_bias,
-                    cross_bias=cross_bias,
-                    deterministic=True,
-                    self_cache={"k": self_lc["self_k"], "v": self_lc["self_v"]},
-                    cross_cache={"k": cross_lc["cross_k"], "v": cross_lc["cross_v"]},
-                    decode_index=decode_index,
+                    None,
+                    self_bias,
+                    cross_bias,
+                    True,
+                    {"k": self_lc["self_k"], "v": self_lc["self_v"]},
+                    {"k": cross_lc["cross_k"], "v": cross_lc["cross_v"]},
+                    decode_index,
                 )
                 new_cache.append({"self_k": new_self["k"], "self_v": new_self["v"]})
             logits = self.lm_head(h).astype(jnp.float32)
@@ -348,16 +362,13 @@ class TransformerDecoder(nn.Module):
             key_mask=attention_mask, causal=True, query_len=t, key_len=t
         )
         cross_bias = make_attention_bias(key_mask=encoder_attention_mask)
+        enc_h = (
+            encoder_hidden_states.astype(cfg.dtype)
+            if encoder_hidden_states is not None
+            else None
+        )
         for layer in self.layers:
-            h, _ = layer(
-                h,
-                enc_hidden=encoder_hidden_states.astype(cfg.dtype)
-                if encoder_hidden_states is not None
-                else None,
-                self_bias=self_bias,
-                cross_bias=cross_bias,
-                deterministic=deterministic,
-            )
+            h, _ = layer(h, enc_h, self_bias, cross_bias, deterministic)
         return self.lm_head(h).astype(jnp.float32)
 
 
