@@ -108,23 +108,53 @@ def convert_bert_generation_encoder(state_dict: Dict, num_layers: int) -> Dict:
     return params
 
 
-def convert_reference_rrg(model_state: Dict, num_layers: int) -> Dict:
-    """Reference RRG ``.pth`` model state dict -> partial RRG params.
+def convert_reference_rrg(
+    model_state: Dict, num_layers: int, backbone: str = "densenet169"
+) -> Dict:
+    """Reference RRG ``.pth`` model state dict -> ``{"params", "batch_stats"}``.
 
-    The decoder (``dec.decoder.*``) converts exactly; the vision tower uses the
-    torchvision layout and converts name-wise for the linear projection
-    (``enc.visual_projection``); conv/BN tensors require the torchvision module
-    order and are left to a future round (documented gap).
+    - decoder ``dec.decoder.*`` (BertGenerationDecoder) converts exactly;
+    - vision tower ``enc.model.*`` (torchvision module wrapped in a truncating
+      Sequential, reference visual_encoder.py:71-83) converts through
+      ``convert_vision``;
+    - ``enc.visual_projection`` converts as a Dense.
     """
+    from .convert_vision import convert_densenet, convert_resnet
+
     dec_sd = {k[len("dec.decoder."):]: v for k, v in model_state.items()
               if k.startswith("dec.decoder.")}
-    out = {"dec": convert_bert_generation_decoder(dec_sd, num_layers)}
+    params: Dict = {"dec": convert_bert_generation_decoder(dec_sd, num_layers)}
+    batch_stats: Dict = {}
+
+    # vision tower: undo the truncating-Sequential renaming. DenseNet
+    # truncation keeps named children inside index 0 ('0.conv0.*'); ResNet
+    # truncation flattens top-level modules to bare indices.
+    raw = {k[len("enc.model."):]: v for k, v in model_state.items()
+           if k.startswith("enc.model.")}
+    vision_sd = {}
+    if raw:
+        is_dense = any("denseblock" in k for k in raw)
+        if is_dense:
+            for k, v in raw.items():
+                parts = k.split(".", 1)
+                rest = parts[1] if parts[0].isdigit() and len(parts) > 1 else k
+                vision_sd[f"features.{rest}"] = v
+            vp, vs = convert_densenet(vision_sd, backbone)
+        else:
+            resnet_seq = {"0": "conv1", "1": "bn1", "4": "layer1", "5": "layer2",
+                          "6": "layer3", "7": "layer4"}
+            for k, v in raw.items():
+                parts = k.split(".", 1)
+                head = resnet_seq.get(parts[0], parts[0])
+                vision_sd[head + ("." + parts[1] if len(parts) > 1 else "")] = v
+            vp, vs = convert_resnet(vision_sd, backbone)
+        params["enc"] = {"model": vp}
+        batch_stats["enc"] = {"model": vs}
+
     vp_w = model_state.get("enc.visual_projection.weight")
     if vp_w is not None:
-        out["enc"] = {
-            "visual_projection": {
-                "kernel": _t(vp_w),
-                "bias": _a(model_state["enc.visual_projection.bias"]),
-            }
+        params.setdefault("enc", {})["visual_projection"] = {
+            "kernel": _t(vp_w),
+            "bias": _a(model_state["enc.visual_projection.bias"]),
         }
-    return out
+    return {"params": params, "batch_stats": batch_stats}

@@ -1,0 +1,92 @@
+"""torchvision-layout vision checkpoints -> Flax vision towers.
+
+Completes the reference-checkpoint migration path (SURVEY.md §7 hard part #5):
+the reference's ``VisualEncoder`` wraps torchvision backbones
+(reference blocks/vision/visual_encoder.py:71), whose state dicts use
+OIHW conv kernels and named BatchNorm running stats. This module converts
+DenseNet/ResNet state dicts into the Flax modules in ``blocks/vision``.
+
+Conventions:
+- conv ``weight`` (O, I, kH, kW) -> flax ``kernel`` (kH, kW, I, O);
+- BatchNorm ``weight/bias`` -> params ``scale/bias``; ``running_mean/var`` ->
+  batch_stats ``mean/var``.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import numpy as np
+
+from ..blocks.vision.densenet import CONFIGS as DENSENET_CONFIGS
+from ..blocks.vision.resnet import STAGE_SIZES
+
+
+def conv_kernel(w) -> np.ndarray:
+    """(O, I, kH, kW) -> (kH, kW, I, O)."""
+    return np.ascontiguousarray(np.transpose(np.asarray(w), (2, 3, 1, 0)))
+
+
+def bn(sd: Dict, prefix: str) -> Tuple[Dict, Dict]:
+    return (
+        {"scale": np.asarray(sd[f"{prefix}.weight"]),
+         "bias": np.asarray(sd[f"{prefix}.bias"])},
+        {"mean": np.asarray(sd[f"{prefix}.running_mean"]),
+         "var": np.asarray(sd[f"{prefix}.running_var"])},
+    )
+
+
+def convert_densenet(state_dict: Dict, name: str = "densenet169") -> Tuple[Dict, Dict]:
+    """torchvision densenet ``features.*`` state dict -> (params, batch_stats)."""
+    sd = state_dict
+    _, blocks, _ = DENSENET_CONFIGS[name]
+    params: Dict = {}
+    stats: Dict = {}
+
+    params["conv0"] = {"kernel": conv_kernel(sd["features.conv0.weight"])}
+    params["norm0"], stats["norm0"] = bn(sd, "features.norm0")
+
+    for bi, num_layers in enumerate(blocks):
+        for li in range(num_layers):
+            t = f"features.denseblock{bi + 1}.denselayer{li + 1}"
+            layer_p, layer_s = {}, {}
+            layer_p["BatchNorm_0"], layer_s["BatchNorm_0"] = bn(sd, f"{t}.norm1")
+            layer_p["Conv_0"] = {"kernel": conv_kernel(sd[f"{t}.conv1.weight"])}
+            layer_p["BatchNorm_1"], layer_s["BatchNorm_1"] = bn(sd, f"{t}.norm2")
+            layer_p["Conv_1"] = {"kernel": conv_kernel(sd[f"{t}.conv2.weight"])}
+            params[f"block{bi}_layer{li}"] = layer_p
+            stats[f"block{bi}_layer{li}"] = layer_s
+        if bi < len(blocks) - 1:
+            t = f"features.transition{bi + 1}"
+            params[f"transition{bi}_norm"], stats[f"transition{bi}_norm"] = bn(
+                sd, f"{t}.norm"
+            )
+            params[f"transition{bi}_conv"] = {
+                "kernel": conv_kernel(sd[f"{t}.conv.weight"])
+            }
+    params["norm_final"], stats["norm_final"] = bn(sd, "features.norm5")
+    return params, stats
+
+
+def convert_resnet(state_dict: Dict, name: str = "resnet50") -> Tuple[Dict, Dict]:
+    """torchvision resnet state dict -> (params, batch_stats)."""
+    sd = state_dict
+    sizes, kind = STAGE_SIZES[name]
+    params: Dict = {"conv_init": {"kernel": conv_kernel(sd["conv1.weight"])}}
+    stats: Dict = {}
+    params["bn_init"], stats["bn_init"] = bn(sd, "bn1")
+
+    convs_per_block = 3 if kind == "bottleneck" else 2
+    for si, num_blocks in enumerate(sizes):
+        for bi in range(num_blocks):
+            t = f"layer{si + 1}.{bi}"
+            p, s = {}, {}
+            for ci in range(convs_per_block):
+                p[f"Conv_{ci}"] = {"kernel": conv_kernel(sd[f"{t}.conv{ci + 1}.weight"])}
+                p[f"BatchNorm_{ci}"], s[f"BatchNorm_{ci}"] = bn(sd, f"{t}.bn{ci + 1}")
+            if f"{t}.downsample.0.weight" in sd:
+                p["conv_proj"] = {"kernel": conv_kernel(sd[f"{t}.downsample.0.weight"])}
+                p["norm_proj"], s["norm_proj"] = bn(sd, f"{t}.downsample.1")
+            params[f"layer{si + 1}_block{bi}"] = p
+            stats[f"layer{si + 1}_block{bi}"] = s
+    return params, stats
