@@ -188,11 +188,17 @@ class Trainor:
             iteration = 0
 
             custom_print = ""
+            profiling = False
             for iteration, batch in enumerate(self.dl, start=1):
                 if self.profile_dir and epoch == 0 and iteration == 3:
-                    jax.profiler.start_trace(self.profile_dir)
-                if self.profile_dir and epoch == 0 and iteration == 6:
+                    try:
+                        jax.profiler.start_trace(self.profile_dir)
+                        profiling = True
+                    except Exception as e:  # backend without profiler support
+                        self.logger.warning(f"profiler unavailable: {e}")
+                if profiling and iteration == 6:
                     jax.profiler.stop_trace()
+                    profiling = False
                 batch = shard_batch(self._model_batch(batch), self.mesh)
                 lr = jnp.asarray(scheduler.current_lr(), jnp.float32)
 
@@ -249,6 +255,9 @@ class Trainor:
                         f"{iteration}/{len(self.dl)} it, ETA {eta:.0f}s "
                         f"{custom_print}"
                     )
+
+            if profiling:  # short epochs: close the trace
+                jax.profiler.stop_trace()
 
             # final partial accumulation step (reference :143-155)
             if self.grad_accu > 1 and iteration % self.grad_accu != 0 and losses:
