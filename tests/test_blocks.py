@@ -147,3 +147,25 @@ def test_visual_encoder_multi_image_mask():
     # padded image's 4 patch tokens are masked out
     assert not bool(mask[1, -4:].any())
     assert bool(mask[0].all())
+
+
+def test_visual_encoder_3d_volume():
+    """3-D densenet path (reference visual_encoder.py:144-158, MONAI parity):
+    full-volume encoding of (B, D, H, W, C) and per-slice encoding."""
+    ve = VisualEncoder(
+        backbone="3d_densenet121", output_layer="avgpool", permute="batch_first"
+    )
+    vol = jnp.ones((2, 32, 32, 32, 1))
+    variables = ve.init(jax.random.key(0), vol, method=VisualEncoder.encode)
+    feats, mask = ve.apply(variables, vol, method=VisualEncoder.encode)
+    assert feats.shape == (2, 1024)  # densenet121 channels, pooled over D,H,W
+
+    ve_slice = VisualEncoder(
+        backbone="densenet121", output_layer="avgpool", permute="batch_first",
+        slice_encode=True, slice_dim=1,
+    )
+    small = jnp.ones((2, 4, 32, 32, 1))
+    variables = ve_slice.init(jax.random.key(0), small, None, method=VisualEncoder.encode)
+    feats, mask = ve_slice.apply(variables, small, None, method=VisualEncoder.encode)
+    assert feats.shape == (2, 4, 1024)  # one vector per slice
+    assert mask.shape == (2, 4)

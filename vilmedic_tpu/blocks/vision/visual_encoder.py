@@ -112,18 +112,22 @@ class VisualEncoder(nn.Module):
 
         assert images.ndim == 5, "wrong images shape"
 
+        if self.slice_encode:
+            # Per-slice encoding of a volume (reference :146-153). Works with a
+            # 2-D backbone here (the reference restricted this to MONAI 3-D
+            # nets); each slice becomes one feature vector.
+            slice_dim = self.slice_dim if self.slice_dim is not None else 1
+            n_slices = images.shape[slice_dim]
+            outs = [
+                self(jnp.take(images, i, axis=slice_dim), train=train)
+                for i in range(n_slices)
+            ]
+            features = jnp.stack(outs, axis=1)
+            features_mask = jnp.sum(jnp.abs(features), axis=-1) != 0
+            return self._project(features), features_mask
+
         if self.is_3d:
-            if self.slice_encode:
-                # Per-slice encoding: move slice axis to front of scan
-                slice_dim = self.slice_dim
-                n_slices = images.shape[slice_dim]
-                outs = [
-                    self(jnp.take(images, i, axis=slice_dim), train=train)
-                    for i in range(n_slices)
-                ]
-                features = jnp.stack(outs, axis=1)
-            else:
-                features = self(images, train=train)
+            features = self(images, train=train)
             features_mask = jnp.sum(jnp.abs(features), axis=-1) != 0
             return self._project(features), features_mask
 
