@@ -182,3 +182,67 @@ def test_beam_search_matches_hf_generate(length_penalty):
         assert trim(ours[i]) == trim(hf_seqs[i]), (
             length_penalty, i, trim(ours[i]), trim(hf_seqs[i])
         )
+
+
+def test_greedy_matches_hf_generate():
+    """Greedy decoding (num_beams=1) parity with HF generate."""
+    import jax.numpy as jnp
+
+    from transformers import GenerationConfig
+    from vilmedic_tpu.decoding import greedy_search
+
+    hf_cfg = BertGenerationConfig(**CFG_KW, is_decoder=True, add_cross_attention=True)
+    torch.manual_seed(1)
+    hf = BertGenerationDecoder(hf_cfg).eval()
+
+    b, s, max_len = 4, 5, 12
+    rng = np.random.default_rng(2)
+    enc_states = rng.normal(size=(b, s, 32)).astype(np.float32)
+    enc_mask = np.ones((b, s), np.int64)
+
+    with torch.no_grad():
+        hf_seqs = hf.generate(
+            input_ids=torch.zeros((b, 1), dtype=torch.long),
+            generation_config=GenerationConfig(
+                bos_token_id=0, eos_token_id=2, pad_token_id=1,
+                num_beams=1, do_sample=False, max_length=max_len, use_cache=False,
+            ),
+            encoder_hidden_states=torch.tensor(enc_states),
+            encoder_attention_mask=torch.tensor(enc_mask),
+        ).numpy()
+
+    sd = {k: v.numpy() for k, v in hf.state_dict().items()}
+    params = convert_bert_generation_decoder(sd, CFG_KW["num_hidden_layers"])
+    dec = TransformerDecoder(TransformerConfig(**{
+        k: v for k, v in CFG_KW.items() if k != "attention_probs_dropout_prob"
+    }, add_cross_attention=True))
+
+    enc_j = jnp.asarray(enc_states)
+    self_cache, cross_cache = dec.apply(
+        {"params": params}, encoder_hidden_states=enc_j, mode="init_cache",
+        max_len=max_len,
+    )
+    enc_m = jnp.asarray(enc_mask, jnp.int32)
+
+    def step_fn(tokens, sc, index):
+        logits, new_self = dec.apply(
+            {"params": params}, tokens, encoder_attention_mask=enc_m,
+            mode="decode", cache=(sc, cross_cache), decode_index=index,
+        )
+        return logits[:, -1].astype(jnp.float32), new_self
+
+    ours = np.asarray(greedy_search(
+        step_fn, self_cache, b, max_len, bos_id=0, eos_id=2, pad_id=1,
+        forced_eos=False,
+    ).sequences)
+
+    def trim(row):
+        out = []
+        for t in row:
+            out.append(int(t))
+            if t == 2:
+                break
+        return out
+
+    for i in range(b):
+        assert trim(ours[i]) == trim(hf_seqs[i]), (i, trim(ours[i]), trim(hf_seqs[i]))
