@@ -18,8 +18,6 @@ Behavioral ports of the reference losses:
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

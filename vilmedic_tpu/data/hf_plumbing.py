@@ -9,7 +9,7 @@ either a dict ``{field: value}`` (keep rows where equal) or a dict
 from __future__ import annotations
 
 import os
-from typing import List, Optional
+from typing import List
 
 
 def _make_filter(spec):

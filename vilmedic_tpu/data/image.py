@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import json
 import os
-from typing import List, Optional, Sequence
+from typing import List, Optional
 
 import numpy as np
 import PIL

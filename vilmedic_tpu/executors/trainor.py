@@ -19,7 +19,6 @@ TPU-first design:
 from __future__ import annotations
 
 import logging
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

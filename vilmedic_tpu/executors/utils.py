@@ -8,7 +8,6 @@ registry dispatch instead of ``eval(proto)`` and JAX/optax instead of torch.
 from __future__ import annotations
 
 import copy
-from typing import Optional
 
 import jax
 

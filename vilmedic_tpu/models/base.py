@@ -17,7 +17,7 @@ TPU translation: a task model is a host-side wrapper that owns
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 

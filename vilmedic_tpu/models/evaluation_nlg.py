@@ -12,7 +12,6 @@ shapes (batch padded up to the configured batch size), compiled once per run.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Dict, List
 
 import jax

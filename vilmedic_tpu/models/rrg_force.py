@@ -17,7 +17,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import registry
-from ..decoding import tile_for_beams
 from ..decoding.decode import constrained_greedy_search
 from .base import get_special_token_ids
 from .rrg import RRG

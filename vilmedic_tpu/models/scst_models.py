@@ -15,7 +15,6 @@ TPU-native training step (one ``train_iteration`` per batch, SURVEY.md §7):
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Dict, Optional
 
 import jax

@@ -16,7 +16,7 @@ unchanged once weights are provided.
 from __future__ import annotations
 
 import os
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import numpy as np
 

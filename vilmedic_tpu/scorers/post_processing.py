@@ -8,8 +8,6 @@ dispatched by name after evaluation, writing artifacts into ckpt_dir.
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, List
-
 import numpy as np
 
 

@@ -15,9 +15,8 @@ always works. MODEL_ZOO keeps the reference's public name surface.
 from __future__ import annotations
 
 import glob
-import json
 import os
-from typing import Optional, Tuple
+from typing import Tuple
 
 from .. import registry
 from ..config.config import Config
