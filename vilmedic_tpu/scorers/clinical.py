@@ -44,23 +44,28 @@ def _hf_model_cached(name: str) -> bool:
 
 
 class F1CheXbert:
-    """14-label CheXbert classifier micro/macro F1 (top-5 and all)."""
+    """14-label CheXbert classifier micro/macro F1 (top-5 and all).
 
-    CONDITIONS = [
-        "Enlarged Cardiomediastinum", "Cardiomegaly", "Lung Opacity", "Lung Lesion",
-        "Edema", "Consolidation", "Pneumonia", "Atelectasis", "Pneumothorax",
-        "Pleural Effusion", "Pleural Other", "Fracture", "Support Devices",
-        "No Finding",
-    ]
-    TOP5 = ["Cardiomegaly", "Edema", "Consolidation", "Atelectasis", "Pleural Effusion"]
+    Real Flax inference — see ``chexbert.py`` (BERT-base + 14 linear heads,
+    converted from the ``chexbert.pth`` torch checkpoint). Contract matches the
+    ``f1chexbert`` pip package used at reference scores.py:115-123: call returns
+    ``(accuracy, accuracy_per_sample, chexbert_all, chexbert_5)``. Raises
+    ``ScorerUnavailable`` only when no weights can be resolved (CHEXBERT_PTH /
+    $VILMEDIC_TPU_CACHE/chexbert.pth / HF cache of StanfordAIMI/RRG_scorers).
+    """
 
-    def __init__(self, refs_filename=None, hyps_filename=None, **kwargs):
-        self.refs_filename = refs_filename
-        self.hyps_filename = hyps_filename
-        _require(_hf_model_cached("StanfordAIMI/RRG_scorers"), "F1CheXbert")
+    from .chexbert import CONDITIONS, TOP5  # class-attr re-export (back-compat)
+
+    def __init__(self, refs_filename=None, hyps_filename=None, labeler=None, **kwargs):
+        from .chexbert import F1CheXbertImpl
+
+        self._impl = F1CheXbertImpl(
+            refs_filename=refs_filename, hyps_filename=hyps_filename,
+            labeler=labeler, **kwargs,
+        )
 
     def __call__(self, hyps: List[str], refs: List[str]):
-        raise ScorerUnavailable("F1CheXbert inference not wired to local weights yet")
+        return self._impl(hyps, refs)
 
 
 class F1RadGraph:

@@ -73,6 +73,10 @@ def compute_scores(
     dump: bool = True,
 ) -> Dict:
     scores: Dict = {}
+    if logger is None:
+        import logging
+
+        logger = logging.getLogger("vilmedic_tpu.scorers")
     if metrics is None or not metrics:
         return scores
 
