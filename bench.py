@@ -29,10 +29,29 @@ import numpy as np
 ESTIMATED_A100_REFERENCE_REPORTS_PER_SEC = 5.0
 
 BATCH = int(os.environ.get("BENCH_BATCH", 32))
+TRAIN_BATCH = int(os.environ.get("BENCH_TRAIN_BATCH", 128))
+TRAIN_LEN = 100
 MAX_LEN = 100
 BEAM = 8
 VOCAB = 50265
 IMAGE = 224
+
+# peak bf16 matmul throughput per chip, for MFU (flops/step / dt / peak)
+PEAK_FLOPS_BY_KIND = {
+    "TPU v4": 275e12,
+    "TPU v5e": 197e12,
+    "TPU v5 lite": 197e12,
+    "TPU v5p": 459e12,
+    "TPU v6e": 918e12,
+}
+
+
+def _peak_flops() -> float:
+    kind = jax.devices()[0].device_kind
+    for k, v in PEAK_FLOPS_BY_KIND.items():
+        if k.lower() in kind.lower():
+            return v
+    return 197e12  # assume v5e-class
 
 
 def build_model():
@@ -120,6 +139,9 @@ def main():
     dt = float(np.median(times))
 
     reports_per_sec = BATCH / dt
+
+    train_samples_per_sec, train_mfu = bench_train(module, variables)
+
     print(
         json.dumps(
             {
@@ -129,9 +151,78 @@ def main():
                 "vs_baseline": round(
                     reports_per_sec / ESTIMATED_A100_REFERENCE_REPORTS_PER_SEC, 3
                 ),
+                "train_samples_per_sec_chip": train_samples_per_sec,
+                "train_mfu": train_mfu,
             }
         )
     )
+
+
+def bench_train(module, variables):
+    """Train-step throughput (samples/s/chip) + MFU on the same flagship RRG.
+
+    Full production step: loss + grads + adamw update + BN stats, batch 128
+    (the reference RRG recipe's batch, config/RRG/biomed-roberta-baseline-mimic.yml),
+    bf16 compute. MFU uses XLA's own compiled flops estimate against the chip's
+    peak bf16 throughput.
+    """
+    import optax
+
+    rng = np.random.default_rng(1)
+    images = jnp.asarray(
+        rng.normal(size=(TRAIN_BATCH, IMAGE, IMAGE, 3)), jnp.float32
+    )
+    ids = jnp.asarray(rng.integers(3, VOCAB, (TRAIN_BATCH, TRAIN_LEN)), jnp.int32)
+    mask = jnp.ones((TRAIN_BATCH, TRAIN_LEN), jnp.int32)
+
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    tx = optax.adamw(1e-4)
+    opt_state = tx.init(params)
+
+    def loss_fn(params, batch_stats, images, ids, mask, key):
+        vs = {"params": params}
+        if batch_stats:
+            vs["batch_stats"] = batch_stats
+        out, updated = module.apply(
+            vs, images, ids, mask, train=True, rngs={"dropout": key},
+            mutable=["batch_stats"],
+        )
+        return out["loss"], updated.get("batch_stats", {})
+
+    @jax.jit
+    def train_step(params, batch_stats, opt_state, images, ids, mask, key):
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch_stats, images, ids, mask, key
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, new_stats, opt_state, loss
+
+    args = (params, batch_stats, opt_state, images, ids, mask, jax.random.key(0))
+    flops = None
+    try:
+        cost = train_step.lower(*args).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0)) or None
+    except Exception:
+        pass
+
+    params, batch_stats, opt_state, loss = train_step(*args)
+    _ = float(loss)  # sync (axon: block_until_ready does not wait)
+    times = []
+    for i in range(4):
+        t0 = time.perf_counter()
+        params, batch_stats, opt_state, loss = train_step(
+            params, batch_stats, opt_state, images, ids, mask, jax.random.key(i)
+        )
+        _ = float(loss)
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
+    samples_per_sec = round(TRAIN_BATCH / dt, 3)
+    mfu = round(flops / dt / _peak_flops(), 4) if flops else None
+    return samples_per_sec, mfu
 
 
 if __name__ == "__main__":

@@ -32,7 +32,7 @@ def main(argv=None):
     seed = (
         extract_seed_from_ckpt(train_config.ckpt)
         if train_config.get("ckpt")
-        else get_seed()
+        else get_seed(train_config.get("seed"))
     )
     logger = set_logger(ckpt_dir, seed)
     with open(os.path.join(ckpt_dir, f"config_{seed}.json"), "w") as f:

@@ -92,7 +92,9 @@ def test_rrs_end_to_end(workdir, tmp_path):
 
 
 def test_shard_eval_matches_unsharded(workdir, tmp_path):
-    """shard_eval: data-parallel generation must produce identical hypotheses."""
+    """Sharded (default on multi-device) generation == single-device hyps."""
+    import jax
+
     from vilmedic_tpu.models.evaluation_nlg import evaluation
 
     config = _config(workdir, tmp_path / "a")
@@ -104,8 +106,52 @@ def test_shard_eval_matches_unsharded(workdir, tmp_path):
                           train_dl=trainor.dl, seed=seed, from_training=True)
     dl = evaluator.splits[0][1]
 
-    plain = evaluation([trainor.model], config, dl)
-    sharded_cfg = _config(workdir, tmp_path / "a", shard_eval=True)
-    sharded = evaluation([trainor.model], sharded_cfg, dl)
+    plain_cfg = _config(workdir, tmp_path / "a", shard_eval=False)
+    plain = evaluation([trainor.model], plain_cfg, dl)
+    # default config: shard_eval unset -> sharded automatically (8 CPU devices)
+    assert len(jax.devices()) > 1
+    sharded = evaluation([trainor.model], config, dl)
     assert plain["hyps"] == sharded["hyps"]
     assert plain["refs"] == sharded["refs"]
+
+    # odd batch: 8 samples, batch_size 6 -> pad target 8, remainder batch of 2
+    odd_cfg = _config(workdir, tmp_path / "a", batch_size=6)
+    evaluator2 = Validator(config=odd_cfg, models=[trainor.model],
+                           train_dl=trainor.dl, seed=seed, from_training=True)
+    odd = evaluation([trainor.model], odd_cfg, evaluator2.splits[0][1])
+    assert odd["hyps"] == plain["hyps"]
+
+
+def test_sharded_decode_loop_has_no_collectives(workdir, tmp_path):
+    """The compiled shard_map beam search must contain NO cross-device
+    collectives — each shard decodes its slice independently (VERDICT r1 #3)."""
+    import jax
+
+    from vilmedic_tpu.data.image import prepare_batch
+    from vilmedic_tpu.models.base import get_special_token_ids
+    from vilmedic_tpu.models.evaluation_nlg import make_generate_fn
+    from vilmedic_tpu.parallel.mesh import get_mesh
+
+    config = _config(workdir, tmp_path / "b")
+    (tmp_path / "b").mkdir()
+    seed = 818183
+    set_logger(str(tmp_path / "b"), seed)
+    trainor = Trainor(config=config, seed=seed)
+    evaluator = Validator(config=config, models=[trainor.model],
+                          train_dl=trainor.dl, seed=seed, from_training=True)
+    dl = evaluator.splits[0][1]
+    dataset = dl.dataset
+    bos, eos, pad = get_special_token_ids(
+        trainor.model.dec_config, dataset.tgt_tokenizer
+    )
+
+    mesh = get_mesh(devices=jax.devices())
+    generate = make_generate_fn(
+        [trainor.model], beam_width=2, max_len=8, bos_id=bos, eos_id=eos,
+        pad_id=pad, length_penalty=1.0, mesh=mesh,
+    )
+    batch = prepare_batch(next(iter(dl)), dataset)
+    enc_inputs = trainor.model.encoder_inputs(batch)
+    hlo = generate.lower([trainor.model.variables], enc_inputs).compile().as_text()
+    for coll in ("all-gather", "all-reduce", "collective-permute", "all-to-all"):
+        assert coll not in hlo, f"decode HLO contains {coll}"

@@ -33,6 +33,18 @@ NEG_INF = -1.0e7
 StepFn = Callable[[jnp.ndarray, Any, jnp.ndarray], Tuple[jnp.ndarray, Any]]
 
 
+def _pvary(tree, vary_axes):
+    """Promote freshly-created decode state to vary over ``vary_axes`` — needed
+    when the decode loop runs inside ``shard_map`` (the loop body mixes the
+    carry with sharded data, so the initial carry must carry the same varying
+    manual axes; see evaluation_nlg.make_generate_fn)."""
+    if not vary_axes:
+        return tree
+    return jax.tree.map(
+        lambda x: jax.lax.pcast(x, tuple(vary_axes), to="varying"), tree
+    )
+
+
 # ---------------------------------------------------------------------------
 # Greedy / sampling
 # ---------------------------------------------------------------------------
@@ -52,11 +64,13 @@ def _rollout(
     pad_id: int,
     select_fn,
     forced_eos: bool = True,
+    vary_axes: Tuple[str, ...] = (),
 ) -> RolloutResult:
     seqs = jnp.full((batch_size, max_len), pad_id, jnp.int32)
     seqs = seqs.at[:, 0].set(bos_id)
     finished = jnp.zeros((batch_size,), jnp.bool_)
     lengths = jnp.ones((batch_size,), jnp.int32)
+    seqs, finished, lengths = _pvary((seqs, finished, lengths), vary_axes)
 
     def cond(state):
         i, _, _, finished, _ = state
@@ -94,12 +108,14 @@ def greedy_search(
     eos_id: int,
     pad_id: int,
     forced_eos: bool = True,
+    vary_axes: Tuple[str, ...] = (),
 ) -> RolloutResult:
     def select(logits, i):
         return jnp.argmax(logits, axis=-1)
 
     return _rollout(
-        step_fn, caches, batch_size, max_len, bos_id, eos_id, pad_id, select, forced_eos
+        step_fn, caches, batch_size, max_len, bos_id, eos_id, pad_id, select,
+        forced_eos, vary_axes,
     )
 
 
@@ -261,6 +277,7 @@ def beam_search(
     eos_id: int,
     pad_id: int,
     length_penalty: float = 1.0,
+    vary_axes: Tuple[str, ...] = (),
 ) -> BeamResult:
     """HF-semantics beam search over pre-tiled caches (leading dim B*k)."""
     k = beam_size
@@ -273,6 +290,9 @@ def beam_search(
     )
     fin_seqs = jnp.full((b, k, max_len), pad_id, jnp.int32)
     fin_scores = jnp.full((b, k), NEG_INF, jnp.float32)
+    seqs, alive_logp, fin_seqs, fin_scores = _pvary(
+        (seqs, alive_logp, fin_seqs, fin_scores), vary_axes
+    )
 
     def norm(i_len):
         return jnp.asarray(i_len, jnp.float32) ** length_penalty

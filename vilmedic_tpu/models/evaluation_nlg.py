@@ -29,12 +29,35 @@ def _pad_batch(arr: np.ndarray, target: int) -> np.ndarray:
     return np.concatenate([arr, reps], axis=0)
 
 
-def make_generate_fn(models, beam_width, max_len, bos_id, eos_id, pad_id, length_penalty):
-    """Build a jitted ensembling generate over (variables_list, encoder inputs)."""
+def make_generate_fn(models, beam_width, max_len, bos_id, eos_id, pad_id, length_penalty,
+                     mesh=None):
+    """Build a jitted ensembling generate over (variables_list, encoder inputs).
+
+    With ``mesh``, the WHOLE encode+beam-decode runs under ``shard_map`` over the
+    ``data`` axis: every shard beam-searches its own batch slice with its own
+    shard-local KV caches and one-hot beam reorders, so the decode loop contains
+    **zero cross-device collectives** (asserted in tests/test_sharded_decode.py)
+    — the SPMD analog of the reference's per-rank eval
+    (validator_accelerate.py:112-162). Each shard's ``lax.while_loop`` even
+    terminates independently on its own early-stop condition.
+    """
     modules = [m.module for m in models]
     encode_methods = [type(m.module).encode for m in models]
+    # Under shard_map, zero-initialized decode state is "unvarying" over the
+    # mesh while the loop body makes it varying; promote it explicitly.
+    vary_axes = ()
+    if mesh is not None:
+        from ..parallel.mesh import DATA_AXIS
 
-    @jax.jit
+        vary_axes = (DATA_AXIS,)
+
+    def _pvary(tree):
+        if not vary_axes:
+            return tree
+        return jax.tree.map(
+            lambda x: jax.lax.pcast(x, vary_axes, to="varying"), tree
+        )
+
     def generate(variables_list, enc_inputs):
         batch_size = jax.tree.leaves(enc_inputs)[0].shape[0]
         tiling = beam_width if beam_width and beam_width > 1 else 1
@@ -49,7 +72,7 @@ def make_generate_fn(models, beam_width, max_len, bos_id, eos_id, pad_id, length
                 self_cache = tile_for_beams(self_cache, tiling)
                 cross_cache = tile_for_beams(cross_cache, tiling)
                 enc_m = tile_for_beams(enc_m, tiling)
-            self_caches.append(self_cache)
+            self_caches.append(_pvary(self_cache))
             # cross K/V and encoder mask are beam-invariant: closed over, never
             # gathered in the decode loop (reference reorders every cache,
             # beam_search.py:312-319 — here only the self cache moves).
@@ -73,14 +96,29 @@ def make_generate_fn(models, beam_width, max_len, bos_id, eos_id, pad_id, length
             result = beam_search(
                 step_fn, self_caches, batch_size, beam_width, max_len,
                 bos_id, eos_id, pad_id, length_penalty=length_penalty,
+                vary_axes=vary_axes,
             )
             return result.sequences
         return greedy_search(
             step_fn, self_caches, batch_size, max_len, bos_id, eos_id, pad_id,
-            forced_eos=False,
+            forced_eos=False, vary_axes=vary_axes,
         ).sequences
 
-    return generate
+    if mesh is not None:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from ..parallel.mesh import DATA_AXIS
+
+        return jax.jit(
+            shard_map(
+                generate,
+                mesh=mesh,
+                in_specs=(P(), P(DATA_AXIS)),
+                out_specs=P(DATA_AXIS),
+            )
+        )
+    return jax.jit(generate)
 
 
 def evaluation(models, config, dl, from_training=True, **kwargs) -> Dict[str, Any]:
@@ -100,27 +138,37 @@ def evaluation(models, config, dl, from_training=True, **kwargs) -> Dict[str, An
     length_penalty = config.get("length_penalty", None)
     length_penalty = 1.0 if length_penalty is None else float(length_penalty)
 
-    generate = make_generate_fn(
-        models, beam_width, int(max_len), bos_id, eos_id, pad_id, length_penalty
-    )
     variables_list = [m.variables for m in models]
     batch_size = getattr(dl, "batch_size", None)
 
-    # Optional data-parallel generation (``shard_eval: true``): shard the eval
-    # batch over the local mesh so beam search runs SPMD (the analog of
-    # per-rank eval + gather, reference validator_accelerate.py:112-162).
-    # Off by default: the one-hot cache-reorder matmul is cross-batch, so the
-    # SPMD partitioner inserts per-step all-gathers; a shard_map beam search is
-    # the multi-chip path planned for a later round.
+    # Data-parallel generation — DEFAULT on multi-device (``shard_eval: false``
+    # to disable): the generate fn runs under shard_map so decode is fully
+    # shard-local (see make_generate_fn). Batches are padded up to the nearest
+    # multiple of the device count for static even sharding.
+    import math
+
+    n_dev = len(jax.devices())
+    shard_eval = config.get("shard_eval", None)
+    if shard_eval is None:
+        shard_eval = n_dev > 1
     mesh = None
-    if config.get("shard_eval"):
-        import math
+    pad_target = int(batch_size) if batch_size else None
+    if shard_eval and n_dev > 1 and batch_size:
+        from ..parallel.mesh import get_mesh, shard_batch
 
-        from ..parallel.mesh import get_mesh, shard_batch  # noqa: F401
+        mesh = get_mesh(devices=jax.devices())
+        pad_target = math.ceil(int(batch_size) / n_dev) * n_dev
+        # params may be committed to a different (training) mesh — replicate
+        # them onto the full eval mesh once up front.
+        from jax.sharding import NamedSharding, PartitionSpec as P
 
-        n_dev = len(jax.devices())
-        data_size = math.gcd(int(batch_size or 1), n_dev) or 1
-        mesh = get_mesh(devices=jax.devices()[:data_size]) if data_size > 1 else None
+        repl = NamedSharding(mesh, P())
+        variables_list = [jax.device_put(v, repl) for v in variables_list]
+
+    generate = make_generate_fn(
+        models, beam_width, int(max_len), bos_id, eos_id, pad_id, length_penalty,
+        mesh=mesh,
+    )
 
     from ..data.image import prepare_batch
 
@@ -130,8 +178,8 @@ def evaluation(models, config, dl, from_training=True, **kwargs) -> Dict[str, An
         batch = prepare_batch(batch, dataset)
         n = batch[ref_key].shape[0]
         enc_inputs = models[0].encoder_inputs(batch)
-        if batch_size and n < batch_size:  # static-shape padding for XLA
-            enc_inputs = {k: _pad_batch(v, batch_size) if v is not None else None
+        if pad_target and n < pad_target:  # static-shape padding for XLA
+            enc_inputs = {k: _pad_batch(v, pad_target) if v is not None else None
                           for k, v in enc_inputs.items()}
         if mesh is not None:
             enc_inputs = shard_batch(enc_inputs, mesh)
