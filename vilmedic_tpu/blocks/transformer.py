@@ -49,6 +49,10 @@ class TransformerConfig:
     initializer_range: float = 0.02
     add_cross_attention: bool = False
     gradient_checkpointing: bool = False  # remat each layer (HF config key)
+    # BERT/RoBERTa prediction heads run dense+act+LayerNorm before the vocab
+    # projection (HF BertLMPredictionHead / RobertaLMHead); BertGeneration's
+    # head is a bare Linear. Needed for pretrained-weight parity.
+    lm_head_transform: bool = False
     dtype: Any = jnp.float32
 
     @classmethod
@@ -61,6 +65,10 @@ class TransformerConfig:
             d = d.to_dict()
         known = {f.name for f in dataclasses.fields(cls)}
         kwargs = {k: v for k, v in {**d, **overrides}.items() if k in known}
+        if "lm_head_transform" not in kwargs and d.get("model_type") in (
+            "bert", "roberta", "camembert", "xlm-roberta",
+        ):
+            kwargs["lm_head_transform"] = True
         if kwargs.get("dtype") in ("bfloat16", "bf16"):
             kwargs["dtype"] = jnp.bfloat16
         elif kwargs.get("dtype") in ("float32", "fp32"):
@@ -292,7 +300,17 @@ class TransformerDecoder(nn.Module):
         self.layers = [
             layer_cls(cfg, name=f"layer_{i}") for i in range(cfg.num_hidden_layers)
         ]
+        if cfg.lm_head_transform:
+            self.lm_transform = _dense(cfg, cfg.hidden_size, "lm_transform")
+            self.lm_transform_ln = nn.LayerNorm(
+                epsilon=cfg.layer_norm_eps, dtype=cfg.dtype, name="lm_transform_ln"
+            )
         self.lm_head = _dense(cfg, cfg.vocab_size, "lm_head")
+
+    def _head(self, h):
+        if self.config.lm_head_transform:
+            h = self.lm_transform_ln(nn.gelu(self.lm_transform(h), approximate=False))
+        return self.lm_head(h).astype(jnp.float32)
 
     def __call__(
         self,
@@ -351,7 +369,7 @@ class TransformerDecoder(nn.Module):
                     decode_index,
                 )
                 new_cache.append({"self_k": new_self["k"], "self_v": new_self["v"]})
-            logits = self.lm_head(h).astype(jnp.float32)
+            logits = self._head(h)
             return logits, tuple(new_cache)
 
         # train / teacher-forced eval
@@ -369,7 +387,7 @@ class TransformerDecoder(nn.Module):
         )
         for layer in self.layers:
             h, _ = layer(h, enc_h, self_bias, cross_bias, deterministic)
-        return self.lm_head(h).astype(jnp.float32)
+        return self._head(h)
 
 
 def causal_lm_loss(

@@ -90,6 +90,10 @@ def create_model(
     rng = jax.random.key(seed)
     variables = model.init_variables(rng, sample_batch)
     model.variables = variables
+    if state_dict is None:
+        # overlay locally cached pretrained HF weights for blocks declared with
+        # a pretrained ``proto`` name (reference RRG_HF.py:18-115)
+        model.variables = model.load_pretrained(model.variables, logger)
 
     if state_dict is not None:
         if "model" not in state_dict:

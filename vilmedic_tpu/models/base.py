@@ -35,13 +35,14 @@ def get_special_token_ids(model_config, tokenizer) -> Tuple[int, int, int]:
     return int(bos), int(eos), int(pad)
 
 
-def resolve_block_config(block_cfg) -> dict:
+def resolve_block(block_cfg):
     """Resolve a reference-style encoder/decoder block config.
 
     ``proto: <hf-name>`` pulls the architecture hyperparameters from the
     locally cached HF config (the reference instantiates the full pretrained
-    model, decoder_model.py:15-21; weights are not fetchable offline, so only
-    the architecture transfers); ``proto: null`` keeps the explicit keys.
+    model, decoder_model.py:15-21); ``proto: null`` keeps the explicit keys.
+    Returns ``(config_dict, pretrained_name_or_None)`` — the name is non-None
+    only when the HF config resolved locally, so weight loading can follow.
     """
     from ..config.config import Config
 
@@ -55,7 +56,7 @@ def resolve_block_config(block_cfg) -> dict:
 
             hf = AutoConfig.from_pretrained(proto, local_files_only=True).to_dict()
             hf.update(block_cfg)  # explicit keys win
-            return hf
+            return hf, proto
         except Exception:
             import logging
 
@@ -63,18 +64,77 @@ def resolve_block_config(block_cfg) -> dict:
                 f"Pretrained config {proto!r} not in local cache; "
                 f"using explicit keys/defaults"
             )
-    return block_cfg
+    return block_cfg, None
+
+
+def resolve_block_config(block_cfg) -> dict:
+    return resolve_block(block_cfg)[0]
+
+
+def _hf_torch_state_dict(name: str, causal: bool):
+    """Load the torch state dict of a locally cached HF model (None if absent).
+    The reference's equivalents: ``AutoModelForCausalLM.from_pretrained(name,
+    add_cross_attention=True)`` (RRG_HF.py:90, decoder_model.py:15-21) and
+    ``AutoModel.from_pretrained(name)`` (encoder_model.py:19-35)."""
+    try:
+        from transformers import AutoModel, AutoModelForCausalLM
+
+        if causal:
+            m = AutoModelForCausalLM.from_pretrained(
+                name, local_files_only=True, is_decoder=True,
+                add_cross_attention=True,
+            )
+        else:
+            m = AutoModel.from_pretrained(name, local_files_only=True)
+    except Exception:
+        return None
+    return {k: v.detach().numpy() for k, v in m.state_dict().items()}
 
 
 class TaskModel:
     module = None
     eval_func = None
+    #: subtree name -> (pretrained hf name, "causal" | "encoder"); populated by
+    #: constructors when a block's ``proto`` is a locally cached pretrained name
+    _pretrained_blocks: Dict = {}
 
     def init_variables(self, rng, batch) -> Dict:
         raise NotImplementedError
 
     def apply_train(self, variables, batch, rng, train: bool = True):
         raise NotImplementedError
+
+    def load_pretrained(self, variables, logger=None) -> Dict:
+        """Overlay locally cached pretrained HF weights recorded by the ctor
+        onto freshly initialized variables (reference loads pretrained modules
+        directly, RRG_HF.py:18-115; here weights convert through zoo/convert)."""
+        blocks = self._pretrained_blocks
+        if not blocks:
+            return variables
+        from ..zoo.convert import (
+            convert_hf_causal_lm, convert_hf_text_encoder, overlay_params,
+        )
+
+        params = dict(variables["params"])
+        for key, (name, kind) in blocks.items():
+            if key not in params:
+                continue
+            sd = _hf_torch_state_dict(name, causal=(kind == "causal"))
+            if sd is None:
+                if logger is not None:
+                    logger.warning(
+                        f"Pretrained weights for {name!r} not in the local HF "
+                        f"cache; {key} keeps random init"
+                    )
+                continue
+            conv = (convert_hf_causal_lm(sd) if kind == "causal"
+                    else convert_hf_text_encoder(sd))
+            params[key] = overlay_params(params[key], conv, logger, key)
+            if logger is not None:
+                logger.info(f"Loaded pretrained {name} weights into {key!r}")
+        variables = dict(variables)
+        variables["params"] = params
+        return variables
 
     def count_params(self, variables) -> int:
         return sum(

@@ -11,9 +11,10 @@ mask -> decoder, RRG_HF.py:116-152).
 TPU-native mapping: the same config surface constructs the native Flax ViT
 encoder + cross-attention decoder (RRG_HF) or text encoder + decoder (RRS_HF);
 the multi-image path is the VisualEncoder 5-D branch (visual_encoder.py here),
-whose concat-patches + mask semantics match RRG_HF's. Pretrained HF *weights*
-are not loaded (no network egress); pretrained *configs* resolve from the local
-HF cache when present.
+whose concat-patches + mask semantics match RRG_HF's. Pretrained HF text
+weights (decoder/encoder given as name strings) load from the local HF cache
+through zoo/convert (see models/base.TaskModel.load_pretrained); pretrained
+configs resolve the architecture either way.
 """
 
 from __future__ import annotations
@@ -65,6 +66,7 @@ class RRG_HF(TaskModel):
         )
         compute_dtype = jnp.bfloat16 if str(dtype) in ("bfloat16", "bf16") else jnp.float32
 
+        self._pretrained_blocks = {}
         if encoderdecoder is not None:
             full = _resolve_hf_config(encoderdecoder)
             vision_args = full.get("encoder", {})
@@ -72,6 +74,9 @@ class RRG_HF(TaskModel):
         else:
             vision_args = _config_args(vision)
             decoder_args = _config_args(decoder)
+            if isinstance(decoder, str):
+                # pretrained decoder name: weights load post-init (ref :90)
+                self._pretrained_blocks["dec"] = (decoder, "causal")
 
         # tokenizer special ids injected into the decoder config (reference :72-78)
         tok_overrides = {}
@@ -139,8 +144,14 @@ class RRS_HF(RRS):
             encoder_args = full.get("encoder", {})
             decoder_args = full.get("decoder", {})
         else:
-            encoder_args = _config_args(encoder)
-            decoder_args = _config_args(decoder)
+            # string names pass through as ``proto`` so RRS records them for
+            # pretrained weight loading (reference RRS_HF pretrained path)
+            encoder_args = (
+                {"proto": encoder} if isinstance(encoder, str) else _config_args(encoder)
+            )
+            decoder_args = (
+                {"proto": decoder} if isinstance(decoder, str) else _config_args(decoder)
+            )
         super().__init__(
             encoder=encoder_args, decoder=decoder_args, dl=dl, logger=logger,
             from_training=from_training, dtype=dtype, **kwargs,

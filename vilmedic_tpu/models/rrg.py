@@ -17,7 +17,7 @@ import jax.numpy as jnp
 from ..blocks.transformer import TransformerConfig, TransformerDecoder, causal_lm_loss
 from ..blocks.vision.visual_encoder import VisualEncoder, build_visual_encoder
 from ..registry import register
-from .base import TaskModel, resolve_block_config
+from .base import TaskModel, resolve_block
 from .evaluation_nlg import evaluation
 
 
@@ -76,8 +76,12 @@ class RRG(TaskModel):
         vocab_size = None
         if dl is not None:
             vocab_size = dl.dataset.tokenizer.vocab_size
+        dec_args, dec_pretrained = resolve_block(decoder)
+        self._pretrained_blocks = (
+            {"dec": (dec_pretrained, "causal")} if dec_pretrained else {}
+        )
         self.dec_config = TransformerConfig.from_dict(
-            resolve_block_config(decoder),
+            dec_args,
             **({"vocab_size": vocab_size} if vocab_size else {}),
             add_cross_attention=True,
             dtype=compute_dtype,

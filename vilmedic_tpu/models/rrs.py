@@ -19,7 +19,7 @@ from ..blocks.transformer import (
     causal_lm_loss,
 )
 from ..registry import register
-from .base import TaskModel, resolve_block_config
+from .base import TaskModel, resolve_block
 from .evaluation_nlg import evaluation
 
 
@@ -84,13 +84,20 @@ class RRS(TaskModel):
         compute_dtype = jnp.bfloat16 if str(dtype) in ("bfloat16", "bf16") else jnp.float32
         enc_vocab = dl.dataset.src.tokenizer.vocab_size if dl is not None else None
         dec_vocab = dl.dataset.tgt.tokenizer.vocab_size if dl is not None else None
+        enc_args, enc_pretrained = resolve_block(encoder)
+        dec_args, dec_pretrained = resolve_block(decoder)
+        self._pretrained_blocks = {}
+        if enc_pretrained:
+            self._pretrained_blocks["enc"] = (enc_pretrained, "encoder")
+        if dec_pretrained:
+            self._pretrained_blocks["dec"] = (dec_pretrained, "causal")
         self.enc_config = TransformerConfig.from_dict(
-            resolve_block_config(encoder),
+            enc_args,
             **({"vocab_size": enc_vocab} if enc_vocab else {}),
             dtype=compute_dtype,
         )
         self.dec_config = TransformerConfig.from_dict(
-            resolve_block_config(decoder),
+            dec_args,
             **({"vocab_size": dec_vocab} if dec_vocab else {}),
             add_cross_attention=True,
             dtype=compute_dtype,

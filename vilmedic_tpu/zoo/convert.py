@@ -108,6 +108,142 @@ def convert_bert_generation_encoder(state_dict: Dict, num_layers: int) -> Dict:
     return params
 
 
+def _find_base_prefix(sd: Dict) -> str:
+    for k in sd:
+        i = k.find("embeddings.word_embeddings.weight")
+        if i >= 0:
+            return k[:i]
+    raise KeyError("no word_embeddings in state dict")
+
+
+def _embeddings_general(sd: Dict, prefix: str, position_offset: int = 0) -> Dict:
+    """BERT/RoBERTa embeddings -> native ``Embeddings`` params.
+
+    - token-type embeddings (absent from the native blocks) are folded into the
+      word embeddings: single-segment input adds row 0 uniformly BEFORE the
+      LayerNorm, so ``word += token_type[0]`` is exact;
+    - RoBERTa's position ids start at ``padding_idx + 1`` (= 2): shifting the
+      position table by the offset reproduces HF rows for left-aligned
+      (generation) sequences exactly.
+    """
+    word = _a(sd[f"{prefix}word_embeddings.weight"]).astype(np.float32).copy()
+    tt = sd.get(f"{prefix}token_type_embeddings.weight")
+    if tt is not None:
+        word = word + _a(tt)[0][None, :]
+    pos = _a(sd[f"{prefix}position_embeddings.weight"]).astype(np.float32)
+    if position_offset:
+        pos = np.concatenate(
+            [pos[position_offset:],
+             np.zeros((position_offset, pos.shape[1]), pos.dtype)], axis=0
+        )
+    return {
+        "word_embeddings": {"embedding": word},
+        "position_embeddings": {"embedding": pos},
+        "ln": {"scale": _a(sd[f"{prefix}LayerNorm.weight"]),
+               "bias": _a(sd[f"{prefix}LayerNorm.bias"])},
+    }
+
+
+def _num_layers(sd: Dict, layer_prefix: str) -> int:
+    return 1 + max(
+        int(k[len(layer_prefix):].split(".")[0])
+        for k in sd if k.startswith(layer_prefix)
+    )
+
+
+def convert_hf_causal_lm(
+    state_dict: Dict, position_offset: int = None
+) -> Dict:
+    """Any HF BERT-family causal LM (BertGenerationDecoder, RobertaForCausalLM,
+    BertLMHeadModel) -> native ``TransformerDecoder`` params.
+
+    Replaces the reference's ``AutoModelForCausalLM.from_pretrained(name,
+    add_cross_attention=True)`` path (reference RRG_HF.py:90,
+    decoder_model.py:15-21) for loading pretrained weights into the TPU-native
+    decoder. BERT/RoBERTa prediction heads (dense+act+LN before the vocab
+    projection) map to ``lm_transform``/``lm_transform_ln`` — build the decoder
+    with ``lm_head_transform=True`` for these.
+    """
+    sd = dict(state_dict)
+    base = _find_base_prefix(sd)  # "bert." / "roberta." / ""
+    if position_offset is None:
+        position_offset = 2 if base.startswith("roberta") else 0
+    layer_prefix = f"{base}encoder.layer."
+    n_layers = _num_layers(sd, layer_prefix)
+    params: Dict = {
+        "embeddings": _embeddings_general(sd, f"{base}embeddings.", position_offset)
+    }
+    for i in range(n_layers):
+        params[f"layer_{i}"] = _layer_params(sd, f"{base}encoder.layer.{i}")
+
+    word_key = f"{base}embeddings.word_embeddings.weight"
+    vocab = np.asarray(sd[word_key]).shape[0]
+    if "lm_head.dense.weight" in sd:  # RobertaLMHead
+        params["lm_transform"] = {"kernel": _t(sd["lm_head.dense.weight"]),
+                                  "bias": _a(sd["lm_head.dense.bias"])}
+        params["lm_transform_ln"] = {"scale": _a(sd["lm_head.layer_norm.weight"]),
+                                     "bias": _a(sd["lm_head.layer_norm.bias"])}
+        w = sd.get("lm_head.decoder.weight", sd[word_key])
+        b = sd.get("lm_head.decoder.bias", sd.get("lm_head.bias"))
+    elif "cls.predictions.transform.dense.weight" in sd:  # BertLMPredictionHead
+        params["lm_transform"] = {
+            "kernel": _t(sd["cls.predictions.transform.dense.weight"]),
+            "bias": _a(sd["cls.predictions.transform.dense.bias"])}
+        params["lm_transform_ln"] = {
+            "scale": _a(sd["cls.predictions.transform.LayerNorm.weight"]),
+            "bias": _a(sd["cls.predictions.transform.LayerNorm.bias"])}
+        w = sd.get("cls.predictions.decoder.weight", sd[word_key])
+        b = sd.get("cls.predictions.decoder.bias", sd.get("cls.predictions.bias"))
+    else:  # BertGenerationOnlyLMHead: bare (tied) Linear
+        w = sd.get("lm_head.decoder.weight", sd[word_key])
+        b = sd.get("lm_head.decoder.bias", sd.get("lm_head.bias"))
+    params["lm_head"] = {
+        "kernel": _t(w),
+        "bias": _a(b) if b is not None else np.zeros((vocab,), np.float32),
+    }
+    return params
+
+
+def convert_hf_text_encoder(state_dict: Dict, position_offset: int = None) -> Dict:
+    """Any HF BERT-family encoder (BertModel/RobertaModel/BertGenerationEncoder)
+    -> native ``TransformerEncoder`` params (reference encoder_model.py:19-35
+    ``AutoModel.from_pretrained``). The pooler (unused by RRS) is dropped."""
+    sd = dict(state_dict)
+    base = _find_base_prefix(sd)
+    if position_offset is None:
+        position_offset = 2 if base.startswith("roberta") else 0
+    params: Dict = {
+        "embeddings": _embeddings_general(sd, f"{base}embeddings.", position_offset)
+    }
+    layer_prefix = f"{base}encoder.layer."
+    for i in range(_num_layers(sd, layer_prefix)):
+        params[f"layer_{i}"] = _layer_params(sd, f"{base}encoder.layer.{i}")
+    return params
+
+
+def overlay_params(dst: Dict, src: Dict, logger=None, path: str = "") -> Dict:
+    """Overlay converted pretrained params onto an initialized tree, keeping the
+    destination leaf wherever the source is missing or shape-mismatched (e.g. a
+    rebuilt task vocab differing from the pretrained vocab)."""
+    out = dict(dst)
+    for k, v in src.items():
+        here = f"{path}/{k}" if path else k
+        if k not in dst:
+            continue
+        if isinstance(v, dict) and isinstance(dst[k], dict):
+            out[k] = overlay_params(dst[k], v, logger, here)
+        else:
+            dv = dst[k]
+            if tuple(np.shape(v)) == tuple(np.shape(dv)):
+                out[k] = np.asarray(v).astype(np.asarray(dv).dtype)
+            elif logger is not None:
+                logger.warning(
+                    f"pretrained weight {here} shape {np.shape(v)} != "
+                    f"model {np.shape(dv)}; keeping random init"
+                )
+    return out
+
+
 def convert_reference_rrg(
     model_state: Dict, num_layers: int, backbone: str = "densenet169"
 ) -> Dict:
