@@ -15,7 +15,7 @@ import logging
 
 import jax
 
-from ..parallel.mesh import process_allgather
+from ..parallel.mesh import gather_string_lists, gather_weighted_mean
 from ..scorers.scores import compute_scores
 from .utils import create_data_loader, get_eval_func
 
@@ -72,15 +72,22 @@ class Validator:
                 key in results for key in ("loss", "refs", "hyps")
             ), "Evaluation func does not return any evaluation keys"
 
-            scores = {"validation_loss": float(results.pop("loss", 0.0))}
-
             refs = results.pop("refs", None)
             hyps = results.pop("hyps", None)
-            if jax.process_count() > 1 and refs is not None:
-                refs = [r for shard in process_allgather(refs) for r in shard] \
-                    if isinstance(refs, list) else refs
-                hyps = [h for shard in process_allgather(hyps) for h in shard] \
-                    if isinstance(hyps, list) else hyps
+            loss = float(results.pop("loss", 0.0))
+            if jax.process_count() > 1:
+                # per-host shard results -> global: strings gather as padded
+                # uint8 arrays (never trim/pad hypotheses like the reference's
+                # workaround, validator_accelerate.py:126-176); loss gathers as
+                # a sample-weighted mean.
+                loss = gather_weighted_mean(
+                    loss, len(refs) if isinstance(refs, list) else 1.0
+                )
+                if isinstance(refs, list):
+                    refs = gather_string_lists(refs)
+                if isinstance(hyps, list):
+                    hyps = gather_string_lists(hyps)
+            scores = {"validation_loss": loss}
 
             if jax.process_index() == 0:
                 metrics = compute_scores(

@@ -144,10 +144,14 @@ def evaluation(models, config, dl, from_training=True, **kwargs) -> Dict[str, An
     # Data-parallel generation — DEFAULT on multi-device (``shard_eval: false``
     # to disable): the generate fn runs under shard_map so decode is fully
     # shard-local (see make_generate_fn). Batches are padded up to the nearest
-    # multiple of the device count for static even sharding.
+    # multiple of the device count for static even sharding. Multi-host: each
+    # process decodes its own dataloader shard on its LOCAL devices (the
+    # reference's per-rank eval, validator_accelerate.py:112-119); the Validator
+    # gathers refs/hyps across processes afterwards.
     import math
 
-    n_dev = len(jax.devices())
+    devices = jax.local_devices()
+    n_dev = len(devices)
     shard_eval = config.get("shard_eval", None)
     if shard_eval is None:
         shard_eval = n_dev > 1
@@ -156,7 +160,7 @@ def evaluation(models, config, dl, from_training=True, **kwargs) -> Dict[str, An
     if shard_eval and n_dev > 1 and batch_size:
         from ..parallel.mesh import get_mesh, shard_batch
 
-        mesh = get_mesh(devices=jax.devices())
+        mesh = get_mesh(devices=devices)
         pad_target = math.ceil(int(batch_size) / n_dev) * n_dev
         # params may be committed to a different (training) mesh — replicate
         # them onto the full eval mesh once up front.

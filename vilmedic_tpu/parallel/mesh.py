@@ -80,6 +80,52 @@ def process_allgather(tree):
     return multihost_utils.process_allgather(tree)
 
 
+def gather_string_lists(strings):
+    """Gather ragged per-host string lists across processes, order-stable by
+    process index (the SPMD replacement for ``gather_for_metrics`` on refs/hyps,
+    reference validator_accelerate.py:155-176 — which pads/trims; here strings
+    are encoded to fixed-shape padded uint8 token arrays, gathered, and decoded,
+    so nothing is silently truncated)."""
+    if jax.process_count() == 1:
+        return list(strings)
+    from jax.experimental import multihost_utils
+
+    data = [s.encode("utf-8") for s in strings]
+    dims = multihost_utils.process_allgather(
+        np.array([len(data), max((len(b) for b in data), default=0)], np.int32)
+    )  # (P, 2)
+    max_n = int(dims[:, 0].max())
+    max_len = max(int(dims[:, 1].max()), 1)
+
+    arr = np.zeros((max_n, max_len), np.uint8)
+    lens = np.zeros((max_n,), np.int32)
+    for i, b in enumerate(data):
+        arr[i, : len(b)] = np.frombuffer(b, np.uint8)
+        lens[i] = len(b)
+    all_arr = multihost_utils.process_allgather(arr)  # (P, max_n, max_len)
+    all_lens = multihost_utils.process_allgather(lens)  # (P, max_n)
+
+    out = []
+    for p in range(dims.shape[0]):
+        for i in range(int(dims[p, 0])):
+            out.append(bytes(all_arr[p, i, : int(all_lens[p, i])]).decode("utf-8"))
+    return out
+
+
+def gather_weighted_mean(value: float, weight: float) -> float:
+    """Weighted cross-process mean (eval loss gathering, reference
+    validator_accelerate.py:155-162 weighted loss tensors)."""
+    if jax.process_count() == 1:
+        return float(value)
+    from jax.experimental import multihost_utils
+
+    vw = multihost_utils.process_allgather(
+        np.array([float(value) * float(weight), float(weight)], np.float64)
+    )  # (P, 2)
+    total_w = float(vw[:, 1].sum())
+    return float(vw[:, 0].sum() / total_w) if total_w else float(value)
+
+
 def local_batch_size(global_batch_size: int, mesh: Optional[Mesh] = None) -> int:
     """Per-host share of the global batch."""
     return max(1, global_batch_size // jax.process_count())
