@@ -80,17 +80,25 @@ class F1RadGraph:
 
 
 class BertScore:
-    """BERTScore F1 with distilbert-base + baseline rescaling
-    (reference NLG/bertscore/bertscore.py:6-28)."""
+    """BERTScore F1: distilbert-base layer 5, idf=False, baseline-rescaled
+    (exact reference configuration, NLG/bertscore/bertscore.py:10-19)."""
 
-    def __init__(self, model_type: str = "distilbert-base-uncased", **kwargs):
-        self.model_type = model_type
-        _require(_hf_model_cached(model_type), "BertScore")
+    def __init__(self, model_type: str = "distilbert-base-uncased",
+                 idf: bool = False, rescale_with_baseline: bool = True, **kwargs):
+        # BERTSCORE_MODEL: point at any local HF dir (offline deployments)
+        self.model_type = os.environ.get("BERTSCORE_MODEL", model_type)
+        self.idf = idf
+        self.rescale_with_baseline = rescale_with_baseline
+        if not os.path.isdir(self.model_type):
+            _require(_hf_model_cached(self.model_type), "BertScore")
 
     def __call__(self, refs: List[str], hyps: List[str]) -> Tuple[float, List[float]]:
         from .bertscore_impl import bert_score_f1
 
-        scores = bert_score_f1(self.model_type, refs, hyps)
+        scores = bert_score_f1(
+            self.model_type, refs, hyps, idf=self.idf,
+            rescale_with_baseline=self.rescale_with_baseline,
+        )
         return float(np.mean(scores)), scores
 
 
@@ -104,7 +112,11 @@ class RadEvalBERTScorer:
     def score(self, refs: List[str], hyps: List[str]) -> float:
         from .bertscore_impl import bert_score_f1
 
-        scores = bert_score_f1(self.model_type, refs, hyps, layer=self.num_layers)
+        # reference radevalbertscore.py:15: rescale_with_baseline=False
+        scores = bert_score_f1(
+            self.model_type, refs, hyps, layer=self.num_layers,
+            rescale_with_baseline=False,
+        )
         return float(np.mean(scores))
 
 
