@@ -69,14 +69,21 @@ class F1CheXbert:
 
 
 class F1RadGraph:
-    """Entity/relation graph overlap F1 (simple/partial/complete)."""
+    """Entity/relation graph overlap F1 (simple/partial/complete) — exact
+    radgraph reward math over annotations from a converted BERT NER head
+    (see radgraph.py for the documented DyGIE++-relations approximation).
+    Contract matches the radgraph pip package used at reference
+    scores.py:131-133."""
 
-    def __init__(self, reward_level: str = "all", model_type: str = "radgraph-xl", **kw):
-        self.reward_level = reward_level
-        _require(_hf_model_cached("StanfordAIMI/RRG_scorers"), "F1RadGraph")
+    def __init__(self, reward_level: str = "all", model_type: str = "radgraph-xl",
+                 annotator=None, **kw):
+        from .radgraph import F1RadGraphImpl
+
+        self._impl = F1RadGraphImpl(reward_level=reward_level,
+                                    annotator=annotator, **kw)
 
     def __call__(self, refs: List[str], hyps: List[str]):
-        raise ScorerUnavailable("F1RadGraph inference not wired to local weights yet")
+        return self._impl(refs=refs, hyps=hyps)
 
 
 class BertScore:
@@ -121,18 +128,19 @@ class RadEvalBERTScorer:
 
 
 class RadEntityMatchExact:
-    """Exact radiology-entity precision/recall/F1 via stanza NER
-    (reference RadEntityMatchExact/RadEntityMatchExact.py:12-50)."""
+    """Exact radiology-entity precision/recall/F1
+    (reference RadEntityMatchExact/RadEntityMatchExact.py:12-50). Entities
+    come from the converted BERT NER head (RADNER_MODEL) instead of stanza;
+    the match arithmetic — including the upstream recall quirk — is ported
+    verbatim (see nli.py)."""
 
-    def __init__(self, **kwargs):
-        try:
-            import stanza  # noqa: F401
-        except ImportError:
-            raise ScorerUnavailable("stanza (radiology NER package) not installed")
-        _require(False, "RadEntityMatchExact (stanza radiology model)")
+    def __init__(self, ner=None, **kwargs):
+        from .nli import RadEntityMatchExactImpl
+
+        self._impl = RadEntityMatchExactImpl(ner=ner)
 
     def __call__(self, refs, hyps):
-        raise ScorerUnavailable("stanza radiology model unavailable")
+        return self._impl(refs=refs, hyps=hyps)
 
 
 class GREEN:
@@ -140,24 +148,30 @@ class GREEN:
     prompts the StanfordAIMI/GREEN causal LM to count clinical errors and
     regex-parses the counts into a score, with a global pair->reward memo cache."""
 
-    _cache = {}
+    def __init__(self, model_name: str = "StanfordAIMI/GREEN-radllama2-7b",
+                 judge_fn=None, **kwargs):
+        from .green import GREENImpl
 
-    def __init__(self, model_name: str = "StanfordAIMI/GREEN-radllama2-7b", **kwargs):
-        self.model_name = model_name
-        _require(_hf_model_cached(model_name), "GREEN")
+        self._impl = GREENImpl(model_name=model_name, judge_fn=judge_fn, **kwargs)
 
     def __call__(self, refs: List[str], hyps: List[str]):
-        raise ScorerUnavailable("GREEN judge weights unavailable offline")
+        return self._impl(refs, hyps)
 
 
 class RadEntityNLI:
-    """Entity match gated by NLI entailment (reference RadEntityNLI/RadEntityNLI.py)."""
+    """Entity match gated by NLI entailment
+    (reference RadEntityNLI/RadEntityNLI.py:17-128): per-sentence BERTScore
+    alignment + BERTNLI entailment/contradiction gating over NER entities.
+    All three models run as converted Flax/host inference (see nli.py)."""
 
-    def __init__(self, **kwargs):
-        _require(False, "RadEntityNLI (BERT-NLI model)")
+    def __init__(self, ner=None, nli=None, sentence_scorer=None, **kwargs):
+        from .nli import RadEntityNLIImpl
+
+        self._impl = RadEntityNLIImpl(ner=ner, nli=nli,
+                                      sentence_scorer=sentence_scorer, **kwargs)
 
     def __call__(self, refs, hyps):
-        raise ScorerUnavailable("NLI model unavailable")
+        return self._impl(refs=refs, hyps=hyps)
 
 
 class StanfordCTAbdAcc:

@@ -1,0 +1,215 @@
+"""Radiology entity extraction: Flax BERT token classifier.
+
+The reference extracts entities two ways — the stanza 'radiology' NER package
+(RadEntityMatchExact.py:12-16) and the radgraph pip package's DyGIE++ model
+(scores.py:131-133). Neither stack is reproducible offline: stanza's radiology
+model is a download-only CoreNLP artifact, and DyGIE++ drags AllenNLP. The
+TPU-native replacement is a BERT token classifier (BIO/single-token tagging
+over radiology entity labels) whose weights convert from any locally provided
+HF ``BertForTokenClassification`` checkpoint (``RADNER_MODEL`` env pointing at
+a local HF dir) — the documented nearest runnable approximation (VERDICT r1
+item #2): entity-level tagging is reproduced; DyGIE++ relation edges are not.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Dict, List, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..blocks.transformer import EncoderLayer, TransformerConfig
+from ..ops.attention import make_attention_bias
+from .chexbert import BertEmbeddings
+
+
+class TokenClassifierModule(nn.Module):
+    """BERT encoder + per-token classification head
+    (HF ``BertForTokenClassification`` layout)."""
+
+    config: TransformerConfig
+    num_labels: int
+
+    def setup(self):
+        cfg = self.config
+        self.embeddings = BertEmbeddings(cfg, name="embeddings")
+        self.layers = [EncoderLayer(cfg, name=f"layer_{i}")
+                       for i in range(cfg.num_hidden_layers)]
+        self.classifier = nn.Dense(self.num_labels, param_dtype=jnp.float32,
+                                   dtype=cfg.dtype, name="classifier")
+
+    def __call__(self, input_ids, attention_mask):
+        t = input_ids.shape[1]
+        h = self.embeddings(input_ids, deterministic=True)
+        bias = make_attention_bias(key_mask=attention_mask, query_len=t, key_len=t)
+        for layer in self.layers:
+            h = layer(h, bias, True)
+        return self.classifier(h).astype(jnp.float32)  # (B, T, L)
+
+
+def convert_hf_token_classifier(state_dict: Dict) -> Dict:
+    """HF ``BertForTokenClassification`` -> ``TokenClassifierModule`` params."""
+    from ..zoo.convert import (
+        _a, _embeddings_general, _find_base_prefix, _layer_params, _num_layers, _t,
+    )
+
+    sd = {(k[len("module."):] if k.startswith("module.") else k): v
+          for k, v in state_dict.items()}
+    base = _find_base_prefix(sd)
+    params: Dict = {
+        "embeddings": _embeddings_general(sd, f"{base}embeddings.", 0, keep_token_type=True)
+    }
+    for i in range(_num_layers(sd, f"{base}encoder.layer.")):
+        params[f"layer_{i}"] = _layer_params(sd, f"{base}encoder.layer.{i}")
+    params["classifier"] = {"kernel": _t(sd["classifier.weight"]),
+                            "bias": _a(sd["classifier.bias"])}
+    return params
+
+
+_SENT_SPLIT = re.compile(r"(?<=[.!?])\s+")
+
+
+def split_sentences(text: str) -> List[str]:
+    return [s for s in _SENT_SPLIT.split(text.strip()) if s]
+
+
+class RadNER:
+    """Batched radiology NER over sentences.
+
+    Produces, per report, a list of sentence dicts
+    ``{"text": str, "entities": [(entity_text, label), ...]}`` — the shape both
+    RadEntityMatchExact (stanza ``S-ANATOMY``/``S-OBSERVATION``) and the
+    RadGraph annotations (``ANAT-DP``/``OBS-*``) consume. Span decoding
+    understands ``S-``/``B-``/``I-`` prefixed labels and bare labels (each
+    tagged word its own entity, radgraph style); subword pieces inherit the
+    first piece's label.
+    """
+
+    def __init__(self, model_dir: Optional[str] = None, params=None, config=None,
+                 tokenizer=None, id2label: Optional[Dict[int, str]] = None,
+                 batch_size: int = 64, max_len: int = 128):
+        from .clinical import ScorerUnavailable
+
+        self.batch_size = batch_size
+        self.max_len = max_len
+        if params is None:
+            model_dir = model_dir or os.environ.get("RADNER_MODEL")
+            if not model_dir or not os.path.isdir(model_dir):
+                raise ScorerUnavailable(
+                    "radiology NER weights unavailable: set RADNER_MODEL to a "
+                    "local HF BertForTokenClassification directory"
+                )
+            import torch
+            from transformers import AutoConfig, AutoTokenizer
+
+            hf_cfg = AutoConfig.from_pretrained(model_dir, local_files_only=True)
+            tokenizer = AutoTokenizer.from_pretrained(model_dir, local_files_only=True)
+            id2label = {int(k): v for k, v in hf_cfg.id2label.items()}
+            from transformers import AutoModelForTokenClassification
+
+            torch_model = AutoModelForTokenClassification.from_pretrained(
+                model_dir, local_files_only=True
+            )
+            sd = {k: v.detach().numpy() for k, v in torch_model.state_dict().items()}
+            params = convert_hf_token_classifier(sd)
+            config = TransformerConfig(
+                vocab_size=hf_cfg.vocab_size, hidden_size=hf_cfg.hidden_size,
+                num_hidden_layers=hf_cfg.num_hidden_layers,
+                num_attention_heads=hf_cfg.num_attention_heads,
+                intermediate_size=hf_cfg.intermediate_size,
+                max_position_embeddings=hf_cfg.max_position_embeddings,
+            )
+        self.tokenizer = tokenizer
+        self.id2label = id2label
+        self.module = TokenClassifierModule(config, num_labels=len(id2label))
+        self.params = jax.device_put(params)
+        self._predict = jax.jit(
+            lambda p, ids, mask: jnp.argmax(
+                self.module.apply({"params": p}, ids, mask), axis=-1
+            )
+        )
+
+    def _tag_sentences(self, sentences: List[str]) -> List[List[Tuple[str, str]]]:
+        """word-level (word, label) per sentence."""
+        encoded = []
+        for s in sentences:
+            words = s.split()
+            ids, word_starts = [self.tokenizer.cls_token_id], []
+            for w in words:
+                pieces = self.tokenizer.encode(w, add_special_tokens=False)
+                if not pieces:
+                    pieces = [self.tokenizer.unk_token_id]
+                word_starts.append(len(ids))
+                ids.extend(pieces)
+            ids.append(self.tokenizer.sep_token_id)
+            encoded.append((ids[: self.max_len], [i for i in word_starts
+                                                  if i < self.max_len], words))
+        out = []
+        bs = self.batch_size
+        for start in range(0, len(encoded), bs):
+            chunk = encoded[start: start + bs]
+            t = max(len(c[0]) for c in chunk)
+            ids = np.zeros((len(chunk), t), np.int32)
+            mask = np.zeros((len(chunk), t), np.int32)
+            for j, (c, _, _) in enumerate(chunk):
+                ids[j, : len(c)] = c
+                mask[j, : len(c)] = 1
+            pred = np.asarray(self._predict(self.params, ids, mask))
+            for j, (_, starts, words) in enumerate(chunk):
+                out.append([
+                    (w, self.id2label[int(pred[j, s])])
+                    for w, s in zip(words, starts)
+                ])
+        return out
+
+    @staticmethod
+    def _decode_entities(tagged: List[Tuple[str, str]]) -> List[Tuple[str, str]]:
+        entities, cur_words, cur_label = [], [], None
+
+        def flush():
+            nonlocal cur_words, cur_label
+            if cur_words:
+                entities.append((" ".join(cur_words), cur_label))
+            cur_words, cur_label = [], None
+
+        for word, label in tagged:
+            if label in ("O", "0") or label.startswith("O-"):
+                flush()
+            elif label.startswith("S-"):  # stanza single-token; keep full tag
+                flush()
+                entities.append((word, label))
+            elif label.startswith("B-"):
+                flush()
+                cur_words, cur_label = [word], label[2:]
+            elif label.startswith("I-"):
+                if cur_words and cur_label == label[2:]:
+                    cur_words.append(word)
+                else:
+                    flush()
+                    cur_words, cur_label = [word], label[2:]
+            else:  # bare label (radgraph style): each word its own entity
+                flush()
+                entities.append((word, label))
+        flush()
+        return entities
+
+    def extract(self, reports: List[str]) -> List[List[Dict]]:
+        """-> per report: [{"text": sentence, "entities": [(text, label)]}]"""
+        sent_lists = [split_sentences(r.lower().replace(" .", ".")) for r in reports]
+        flat = [s for sents in sent_lists for s in sents]
+        tagged = self._tag_sentences(flat) if flat else []
+        out, idx = [], 0
+        for sents in sent_lists:
+            doc = []
+            for s in sents:
+                doc.append({
+                    "text": s,
+                    "entities": self._decode_entities(tagged[idx]),
+                })
+                idx += 1
+            out.append(doc)
+        return out

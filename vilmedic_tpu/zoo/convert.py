@@ -116,19 +116,29 @@ def _find_base_prefix(sd: Dict) -> str:
     raise KeyError("no word_embeddings in state dict")
 
 
-def _embeddings_general(sd: Dict, prefix: str, position_offset: int = 0) -> Dict:
-    """BERT/RoBERTa embeddings -> native ``Embeddings`` params.
+def _embeddings_general(sd: Dict, prefix: str, position_offset: int = 0,
+                        keep_token_type: bool = False) -> Dict:
+    """BERT/RoBERTa embeddings -> native embeddings params.
 
-    - token-type embeddings (absent from the native blocks) are folded into the
-      word embeddings: single-segment input adds row 0 uniformly BEFORE the
-      LayerNorm, so ``word += token_type[0]`` is exact;
+    - token-type embeddings: for targets without a token-type table
+      (``blocks.transformer.Embeddings``) row 0 is folded into the word
+      embeddings — single-segment input adds it uniformly BEFORE the
+      LayerNorm, so ``word += token_type[0]`` is exact. Targets that model
+      segments (``scorers.chexbert.BertEmbeddings``) pass
+      ``keep_token_type=True`` to keep the table as its own param;
     - RoBERTa's position ids start at ``padding_idx + 1`` (= 2): shifting the
       position table by the offset reproduces HF rows for left-aligned
       (generation) sequences exactly.
     """
     word = _a(sd[f"{prefix}word_embeddings.weight"]).astype(np.float32).copy()
     tt = sd.get(f"{prefix}token_type_embeddings.weight")
-    if tt is not None:
+    out: Dict = {}
+    if keep_token_type:
+        out["token_type_embeddings"] = {
+            "embedding": _a(tt) if tt is not None
+            else np.zeros((2, word.shape[1]), np.float32)
+        }
+    elif tt is not None:
         word = word + _a(tt)[0][None, :]
     pos = _a(sd[f"{prefix}position_embeddings.weight"]).astype(np.float32)
     if position_offset:
@@ -136,12 +146,13 @@ def _embeddings_general(sd: Dict, prefix: str, position_offset: int = 0) -> Dict
             [pos[position_offset:],
              np.zeros((position_offset, pos.shape[1]), pos.dtype)], axis=0
         )
-    return {
+    out.update({
         "word_embeddings": {"embedding": word},
         "position_embeddings": {"embedding": pos},
         "ln": {"scale": _a(sd[f"{prefix}LayerNorm.weight"]),
                "bias": _a(sd[f"{prefix}LayerNorm.bias"])},
-    }
+    })
+    return out
 
 
 def _num_layers(sd: Dict, layer_prefix: str) -> int:
