@@ -78,18 +78,38 @@ class Trainor:
             total_steps=len(self.dl) * int(config.get("epochs", 1)),
         )
 
-        # Mesh + state: the data axis must divide the per-host batch; fall back
-        # to a device subset when the configured batch is smaller than the mesh.
+        # Mesh + state: the data axis must divide the per-host batch. An
+        # indivisible batch is a hard error (the round-1 gcd fallback silently
+        # stranded devices — batch 12 on 8 chips quietly halved throughput);
+        # ``allow_device_subset: true`` opts into the old subset behavior.
         import math
 
         n_devices = len(jax.devices())
         batch_size = int(config.get("batch_size", 1) or 1)
-        data_size = math.gcd(batch_size, n_devices) or 1
-        if data_size < n_devices:
-            self.logger.warning(
-                f"batch_size {batch_size} not divisible across {n_devices} devices; "
-                f"using a {data_size}-device data mesh"
-            )
+        if batch_size % n_devices and batch_size > n_devices:
+            if config.get("allow_device_subset"):
+                data_size = math.gcd(batch_size, n_devices) or 1
+                self.logger.warning(
+                    f"batch_size {batch_size} not divisible across {n_devices} "
+                    f"devices; using a {data_size}-device data mesh "
+                    f"(allow_device_subset)"
+                )
+            else:
+                down = (batch_size // n_devices) * n_devices
+                up = down + n_devices
+                raise ValueError(
+                    f"batch_size {batch_size} is not divisible across "
+                    f"{n_devices} devices — {n_devices - math.gcd(batch_size, n_devices)} "
+                    f"chips would sit idle. Use batch_size {down} or {up}, or "
+                    f"set allow_device_subset: true to accept a smaller mesh."
+                )
+        else:
+            data_size = min(batch_size, n_devices)
+            if data_size < n_devices:
+                self.logger.warning(
+                    f"batch_size {batch_size} < {n_devices} devices; using a "
+                    f"{data_size}-device data mesh"
+                )
         self.mesh = get_mesh(devices=jax.devices()[:data_size])
         params = self.model.variables["params"]
         batch_stats = self.model.variables.get("batch_stats", {})
