@@ -329,6 +329,18 @@ class ImageDataset:
     def __getitem__(self, index):
         return {"image": [self.transform(open_image(im, self.ext)) for im in self.images[index]]}
 
+    def open_raw_image(self, index: int) -> np.ndarray:
+        """First image of a sample WITHOUT normalization, center-sized to the
+        eval crop — for attention-overlay post-processing (the reference strips
+        Normalize from the transform pipeline, post_processing.py:42-44)."""
+        img = open_image(self.images[index][0], self.ext)
+        img = resize_pil(img, self.crop)
+        arr = np.asarray(img)
+        h, w = arr.shape[:2]
+        top = max((h - self.crop) // 2, 0)
+        left = max((w - self.crop) // 2, 0)
+        return arr[top: top + self.crop, left: left + self.crop]
+
     def get_collate_fn(self):
         if self.device_preproc:
             is_train = isinstance(self.transform, TrainTransformU8)
