@@ -112,7 +112,7 @@ def main():
                 variables, tokens, self_cache, cross_cache, enc_m, index,
                 method=type(module).decode_step,
             )
-            return logits[:, -1].astype(jnp.float32), new_self
+            return logits[:, -1], new_self
 
         return beam_search(
             step_fn, self_cache, BATCH, BEAM, MAX_LEN, bos_id=0, eos_id=2, pad_id=1,

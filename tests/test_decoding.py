@@ -131,3 +131,33 @@ def test_sample_respects_bad_words_and_eos():
     # forced eos: every row terminates
     lengths = np.asarray(out.lengths)
     assert (lengths <= MAX_LEN).all() and (lengths >= 2).all()
+
+
+def test_batch_beam_candidates_match_two_stage():
+    """The large-vocab blockwise candidate selection must be EXACTLY equivalent
+    to the reference two-stage route (per-beam top-2k + pool top-2k)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from vilmedic_tpu.decoding.decode import _batch_beam_candidates
+
+    b, k, v = 3, 8, 6021  # v >= 4096 and not a multiple of 128 (tail block)
+    rng = np.random.default_rng(0)
+    logits = jnp.asarray(rng.normal(size=(b * k, v)) * 4, jnp.float32)
+    alive = jnp.asarray(rng.normal(size=(b, k)), jnp.float32)
+    r = 2 * k
+
+    scores, beams, tokens = jax.jit(
+        lambda l, a: _batch_beam_candidates(l, b, k, a, r)
+    )(logits, alive)
+
+    # reference: explicit log-softmax + flat top-2k per batch item
+    logp = np.asarray(jax.nn.log_softmax(logits, axis=-1)).reshape(b, k, v)
+    total = logp + np.asarray(alive)[:, :, None]
+    flat = total.reshape(b, k * v)
+    order = np.argsort(-flat, axis=1)[:, :r]
+    exp_scores = np.take_along_axis(flat, order, axis=1)
+    np.testing.assert_allclose(np.asarray(scores), exp_scores, rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(beams), order // v)
+    np.testing.assert_array_equal(np.asarray(tokens), order % v)

@@ -307,10 +307,15 @@ class TransformerDecoder(nn.Module):
             )
         self.lm_head = _dense(cfg, cfg.vocab_size, "lm_head")
 
-    def _head(self, h):
+    def _head(self, h, keep_dtype: bool = False):
         if self.config.lm_head_transform:
             h = self.lm_transform_ln(nn.gelu(self.lm_transform(h), approximate=False))
-        return self.lm_head(h).astype(jnp.float32)
+        out = self.lm_head(h)
+        # keep_dtype=True would emit bf16 logits (half the HBM traffic, no
+        # precision loss since the matmul already rounded to bf16) — measured
+        # SLOWER on v5e (190 vs 208 reports/s): the bf16 (16,128) tiling of the
+        # downstream pad+block-reduce underperforms the f32 (8,128) path.
+        return out if keep_dtype else out.astype(jnp.float32)
 
     def __call__(
         self,
@@ -369,7 +374,7 @@ class TransformerDecoder(nn.Module):
                     decode_index,
                 )
                 new_cache.append({"self_k": new_self["k"], "self_v": new_self["v"]})
-            logits = self._head(h)
+            logits = self._head(h, keep_dtype=False)
             return logits, tuple(new_cache)
 
         # train / teacher-forced eval

@@ -220,6 +220,107 @@ def constrained_greedy_search(
 # Beam search
 # ---------------------------------------------------------------------------
 
+_PAD_NEG = -1.0e30  # block padding; below any real logit, exp() underflows to 0
+
+
+def _block_topk_lse(logits: jnp.ndarray, k: int):
+    """Exact top-k + logsumexp over a large vocab in ONE full memory pass.
+
+    ``lax.top_k`` over a 50k vocab costs ~3x a raw memory pass on TPU (it
+    sorts); this computes per-128-block maxima and exp-sums in a single fused
+    traversal, then: lse via the block decomposition
+    ``log(sum_b exp(bmax_b - M) * bsum_b) + M``, and EXACT top-k by gathering
+    only the top-2k candidate blocks (any element of the true top-k lives in a
+    block whose max is >= the k-th largest block max — top-2k blocks also
+    absorb boundary ties) and running the small top_k there. Measured ~3x
+    faster than ``logsumexp + lax.top_k`` at (256, 50265) on v5e.
+    """
+    n, v = logits.shape
+    blk = 128
+    nb = (v + blk - 1) // blk
+    pad = nb * blk - v
+    xp = logits
+    if pad:
+        xp = jnp.pad(logits, ((0, 0), (0, pad)),
+                     constant_values=jnp.asarray(_PAD_NEG, logits.dtype))
+    # bf16 logits stay bf16 in memory (the lm_head already rounded to bf16, so
+    # upcasting early adds bytes, not precision); the f32 upcast fuses into
+    # this single read. (A per-column take_along_axis from the raw logits was
+    # tried to avoid the padded copy: 15x slower — scattered-column gathers
+    # don't vectorize on TPU; the padded block gather does.)
+    xp = xp.reshape(n, nb, blk).astype(jnp.float32)
+    bmax = xp.max(axis=-1)  # (n, nb) — fuses with bsum into one read
+    bsum = jnp.sum(jnp.exp(xp - bmax[..., None]), axis=-1)
+    m = bmax.max(axis=-1)
+    lse = jnp.log(jnp.sum(jnp.exp(bmax - m[:, None]) * bsum, axis=-1)) + m
+
+    nblocks = min(2 * k, nb)
+    _, bidx = lax.top_k(bmax, nblocks)  # (n, nblocks)
+    cand = jnp.take_along_axis(xp, bidx[..., None], axis=1).reshape(n, nblocks * blk)
+    scores, within = lax.top_k(cand, k)
+    block_of = jnp.take_along_axis(bidx, within // blk, axis=1)
+    idx = block_of * blk + within % blk
+    return scores, idx.astype(jnp.int32), lse
+
+
+def _topk_and_lse(logits: jnp.ndarray, k: int):
+    """Dispatch: blockwise fast path for large vocabs, plain ops otherwise."""
+    if logits.shape[-1] >= 4096:
+        return _block_topk_lse(logits, k)
+    logits = logits.astype(jnp.float32)
+    lse = jax.nn.logsumexp(logits, axis=-1)
+    scores, idx = lax.top_k(logits, k)
+    return scores, idx, lse
+
+
+def _batch_beam_candidates(logits: jnp.ndarray, b: int, k: int,
+                           alive_logp: jnp.ndarray, r: int):
+    """Large-vocab candidate selection for beam search, ONE top-k per batch item.
+
+    The classic two-stage route (per-beam top-2k over V, then pool top-2k over
+    k*2k) spends 3 TPU TopK custom calls per step — each costs hundreds of us
+    regardless of size. Here the per-beam score offset ``alive_logp - lse`` is
+    applied to the per-128-block maxima, so ONE top-2k over the (k * nb)
+    adjusted block maxima selects the candidate blocks for the whole batch
+    item, and ONE small top-2k over the gathered blocks finishes. Exact by the
+    same threshold argument as ``_block_topk_lse``, per batch item.
+
+    Returns (cand_scores, cand_beam, cand_token) each (b, r), scores already
+    in cumulative-logprob form (logit - lse + alive).
+    """
+    n, v = logits.shape  # n == b * k
+    blk = 128
+    nb = (v + blk - 1) // blk
+    pad = nb * blk - v
+    xp = logits
+    if pad:
+        xp = jnp.pad(logits, ((0, 0), (0, pad)),
+                     constant_values=jnp.asarray(_PAD_NEG, logits.dtype))
+    xp = xp.reshape(n, nb, blk).astype(jnp.float32)
+    bmax = xp.max(axis=-1)
+    bsum = jnp.sum(jnp.exp(xp - bmax[..., None]), axis=-1)
+    m = bmax.max(axis=-1)
+    lse = jnp.log(jnp.sum(jnp.exp(bmax - m[:, None]) * bsum, axis=-1)) + m
+
+    off = alive_logp.reshape(n) - lse  # (n,) per-beam cumulative offset
+    adj = (bmax + off[:, None]).reshape(b, k * nb)
+    nblocks = min(r, k * nb)
+    _, gbidx = lax.top_k(adj, nblocks)  # (b, nblocks) global block ids
+
+    cand = jnp.take_along_axis(
+        xp.reshape(b, k * nb, blk), gbidx[..., None], axis=1
+    )  # (b, nblocks, blk) f32
+    block_off = jnp.take_along_axis(
+        jnp.repeat(off.reshape(b, k), nb, axis=1), gbidx, axis=1
+    )  # (b, nblocks): the owning beam's offset per selected block
+    cand_flat = (cand + block_off[..., None]).reshape(b, nblocks * blk)
+    scores, sel = lax.top_k(cand_flat, r)  # (b, r)
+    chosen_block = jnp.take_along_axis(gbidx, sel // blk, axis=1)
+    cand_beam = chosen_block // nb
+    cand_token = (chosen_block % nb) * blk + sel % blk
+    return scores, cand_beam.astype(jnp.int32), cand_token.astype(jnp.int32)
+
+
 class BeamResult(NamedTuple):
     sequences: jnp.ndarray  # (B, max_len) best hypothesis per batch item
     scores: jnp.ndarray  # (B,) length-normalized score of the best hypothesis
@@ -313,23 +414,31 @@ def beam_search(
         tokens = lax.dynamic_slice(seqs, (0, 0, i), (b, k, 1)).reshape(b * k, 1)
         logits, new_caches = step_fn(tokens, caches, i)
         logits = logits[:, -1] if logits.ndim == 3 else logits
-        logits = logits.astype(jnp.float32)
+        # NOTE: no f32 upcast here — _topk_and_lse reads the raw (possibly
+        # bf16) logits and upcasts inside its single fused pass.
         vocab = logits.shape[-1]
-        # Two-stage selection without materializing the (B*k, V) log-softmax:
-        # top-2k of the raw logits per beam (argmax-invariant), normalized by
-        # the row logsumexp, then a second exact top-2k over the k*2k pool.
-        lse = jax.nn.logsumexp(logits, axis=-1)  # (B*k,)
-        r = min(2 * k, vocab)  # per-row candidates (tiny-vocab tests)
-        row_scores, row_idx = lax.top_k(logits, r)  # (B*k, r)
-        row_logp = row_scores - lse[:, None] + alive_logp.reshape(b * k)[:, None]
-        pool_scores = row_logp.reshape(b, k * r)
-        pool_tokens = row_idx.reshape(b, k * r)
-        pool_beams = jnp.repeat(jnp.arange(k), r)[None, :]
-        cand_scores, pool_sel = lax.top_k(pool_scores, 2 * k)  # (B, 2k)
-        cand_beam = jnp.take_along_axis(
-            jnp.broadcast_to(pool_beams, pool_tokens.shape), pool_sel, axis=1
-        )
-        cand_token = jnp.take_along_axis(pool_tokens, pool_sel, axis=1)
+        if vocab >= 4096:
+            # One-top-k-per-batch-item blockwise selection (see
+            # _batch_beam_candidates) — exact and ~3x cheaper than the
+            # two-stage route at 50k vocab.
+            cand_scores, cand_beam, cand_token = _batch_beam_candidates(
+                logits, b, k, alive_logp, 2 * k
+            )
+        else:
+            # Two-stage selection without materializing the log-softmax:
+            # top-2k of the raw logits per beam (argmax-invariant), normalized
+            # by the row logsumexp, then exact top-2k over the k*2k pool.
+            r = min(2 * k, vocab)  # per-row candidates (tiny-vocab tests)
+            row_scores, row_idx, lse = _topk_and_lse(logits, r)
+            row_logp = row_scores - lse[:, None] + alive_logp.reshape(b * k)[:, None]
+            pool_scores = row_logp.reshape(b, k * r)
+            pool_tokens = row_idx.reshape(b, k * r)
+            pool_beams = jnp.repeat(jnp.arange(k), r)[None, :]
+            cand_scores, pool_sel = lax.top_k(pool_scores, 2 * k)  # (B, 2k)
+            cand_beam = jnp.take_along_axis(
+                jnp.broadcast_to(pool_beams, pool_tokens.shape), pool_sel, axis=1
+            )
+            cand_token = jnp.take_along_axis(pool_tokens, pool_sel, axis=1)
         is_eos = cand_token == eos_id
 
         # --- finished pool update -----------------------------------------

@@ -88,7 +88,10 @@ def make_generate_fn(models, beam_width, max_len, bos_id, eos_id, pad_id, length
                     variables, tokens, self_cache, cross_cache, enc_m, index,
                     method=type(module).decode_step,
                 )
-                logits_sum = logits_sum + logits[:, -1].astype(jnp.float32)
+                step_logits = logits[:, -1]
+                if len(modules) > 1:  # ensemble logit sum in f32
+                    step_logits = step_logits.astype(jnp.float32)
+                logits_sum = logits_sum + step_logits
                 new_states.append(new_self)
             return logits_sum, new_states
 
