@@ -326,7 +326,8 @@ class BeamResult(NamedTuple):
     scores: jnp.ndarray  # (B,) length-normalized score of the best hypothesis
 
 
-def _gather_beams(tree, new_beam: jnp.ndarray, batch: int, k: int):
+def _gather_beams(tree, new_beam: jnp.ndarray, batch: int, k: int,
+                  decode_index=None, time_axis_len: int = -1):
     """Reorder per-beam state by within-batch beam indices ``new_beam`` (B, k).
 
     Large floating-point leaves (the KV caches) are permuted with a batched
@@ -341,6 +342,21 @@ def _gather_beams(tree, new_beam: jnp.ndarray, batch: int, k: int):
     onehot = {}
     flat_idx = (jnp.arange(batch)[:, None] * k + new_beam).reshape(-1)
 
+    def get_oh(dtype):
+        oh = onehot.get(dtype)
+        if oh is None:
+            oh = jax.nn.one_hot(flat_idx, n, dtype=dtype)
+            onehot[dtype] = oh
+        return oh
+
+    def permute(x):
+        # Flat (N, N) one-hot: block-diagonal by construction, but the
+        # flat matmul tiles the 128x128 MXU fully — a batched (B, k, k)
+        # einsum pads 8-wide contractions to 128 and measures ~2x slower.
+        flat = x.reshape(x.shape[0], -1)
+        return jnp.matmul(get_oh(x.dtype), flat,
+                          preferred_element_type=x.dtype).reshape(x.shape)
+
     def gather(x):
         if (
             x.ndim >= 2
@@ -348,15 +364,11 @@ def _gather_beams(tree, new_beam: jnp.ndarray, batch: int, k: int):
             and jnp.issubdtype(x.dtype, jnp.floating)
             and x.size >= (1 << 16)
         ):
-            # Flat (N, N) one-hot: block-diagonal by construction, but the
-            # flat matmul tiles the 128x128 MXU fully — a batched (B, k, k)
-            # einsum pads 8-wide contractions to 128 and measures ~2x slower.
-            oh = onehot.get(x.dtype)
-            if oh is None:
-                oh = jax.nn.one_hot(flat_idx, n, dtype=x.dtype)
-                onehot[x.dtype] = oh
-            flat = x.reshape(n, -1)
-            return jnp.matmul(oh, flat, preferred_element_type=x.dtype).reshape(x.shape)
+            # NOTE: permuting only the filled time-chunks (lax.cond per
+            # chunk) was measured SLOWER on v5e (190 vs 208 reports/s):
+            # the per-chunk conditionals + concat copies outweigh the saved
+            # HBM traffic. Full-cache permute it is.
+            return permute(x)
         return jnp.take(x, flat_idx, axis=0)
 
     return jax.tree.map(gather, tree)
@@ -470,7 +482,8 @@ def beam_search(
             new_seqs, new_token[:, :, None].astype(jnp.int32), (0, 0, i + 1)
         )
 
-        new_caches = _gather_beams(new_caches, new_beam, b, k)
+        new_caches = _gather_beams(new_caches, new_beam, b, k,
+                                   decode_index=i, time_axis_len=max_len)
 
         return (i + 1, new_seqs, new_alive_scores, fin_seqs, fin_scores, new_caches)
 
