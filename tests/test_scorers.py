@@ -84,3 +84,33 @@ def test_compute_scores_dispatch(tmp_path):
     assert (tmp_path / "validate_123456_refs.txt").exists()
     assert (tmp_path / "validate_123456_hyps.txt").exists()
     assert (tmp_path / "validate_123456_metrics.txt").exists()
+
+
+def test_spice_scene_graph_tuples_and_scoring():
+    from vilmedic_tpu.scorers.nlg.spice import Spice, extract_tuples
+
+    t = extract_tuples("small left pleural effusion. no pneumothorax.")
+    assert ("effusion", "small") in t and ("effusion", "left") in t
+    assert ("pneumothorax", "absent") in t
+    t2 = extract_tuples("opacity in the lobe")
+    assert ("opacity", "in", "lobe") in t2
+
+    refs = ["small left pleural effusion . no pneumothorax .",
+            "the heart is enlarged ."]
+    perfect = list(refs)
+    partial = ["pleural effusion seen", "normal heart"]
+    s = Spice()
+    mean_p, per = s(refs, perfect)
+    mean_q, _ = s(refs, partial)
+    assert mean_p == 1.0 and 0 <= mean_q < mean_p
+    assert len(per) == 2
+
+
+def test_spice_cli_dispatch(tmp_path):
+    from vilmedic_tpu.scorers.scores import compute_scores
+
+    scores = compute_scores(
+        metrics=["SPICE"], refs=["no acute disease ."], hyps=["no acute disease ."],
+        split="t", seed=0, config=None, epoch=0, logger=None, dump=False,
+    )
+    assert scores["SPICE"] == 1.0

