@@ -86,7 +86,18 @@ class Trainor:
 
         n_devices = len(jax.devices())
         batch_size = int(config.get("batch_size", 1) or 1)
-        if batch_size % n_devices and batch_size > n_devices:
+        if jax.process_count() > 1:
+            # multi-host SPMD: one global mesh over every device; the loader
+            # delivers this host's strided shard and shard_batch reassembles
+            # the global batch (reference trainor_accelerate DDP semantics)
+            if batch_size % n_devices:
+                raise ValueError(
+                    f"global batch_size {batch_size} must divide across "
+                    f"{n_devices} global devices for multi-host training"
+                )
+            self.mesh = get_mesh(devices=jax.devices())
+            data_size = None  # global mesh set above
+        elif batch_size % n_devices and batch_size > n_devices:
             if config.get("allow_device_subset"):
                 data_size = math.gcd(batch_size, n_devices) or 1
                 self.logger.warning(
@@ -110,7 +121,8 @@ class Trainor:
                     f"batch_size {batch_size} < {n_devices} devices; using a "
                     f"{data_size}-device data mesh"
                 )
-        self.mesh = get_mesh(devices=jax.devices()[:data_size])
+        if data_size is not None:
+            self.mesh = get_mesh(devices=jax.devices()[:data_size])
         params = self.model.variables["params"]
         batch_stats = self.model.variables.get("batch_stats", {})
         opt_state = self.tx.init(params)
@@ -129,6 +141,7 @@ class Trainor:
         self._build_steps()
 
         self.evaluator = None  # set by bin/train
+        self.epoch_losses = []  # mean train loss per epoch (observability)
 
     # ------------------------------------------------------------------
     def _build_steps(self):
@@ -296,6 +309,7 @@ class Trainor:
             do_lr_decay = epoch + 1 >= self.decay_metric_start
             do_eval = epoch + 1 >= self.eval_start
             training_loss = float(np.mean(losses)) if losses else float("inf")
+            self.epoch_losses.append(training_loss)
 
             early_stop_metric = config.get("early_stop_metric")
             if early_stop_metric == "training_loss" and do_early_stop:

@@ -15,7 +15,7 @@ import logging
 
 import jax
 
-from ..parallel.mesh import gather_string_lists, gather_weighted_mean
+from ..parallel.mesh import broadcast_json, gather_string_lists, gather_weighted_mean
 from ..scorers.scores import compute_scores
 from .utils import create_data_loader, get_eval_func
 
@@ -107,5 +107,8 @@ class Validator:
                     )
 
                 self.logger.info(json.dumps(scores, indent=4, sort_keys=False, default=str))
+            if jax.process_count() > 1:
+                # all ranks must agree on metrics for early-stop/ckpt decisions
+                scores = broadcast_json(scores)
             self.scores.append(scores)
         return self.scores

@@ -54,14 +54,27 @@ def replicated(mesh: Mesh) -> NamedSharding:
 def shard_batch(batch: Dict, mesh: Mesh):
     """Place a host batch pytree onto the mesh, sharded on the leading axis.
 
+    Single-process: a plain sharded device_put. Multi-process (the DDP
+    equivalent, reference trainor_accelerate.py:91-93): each host's local
+    batch is its SHARD of the global batch (the DataLoader slices
+    ``batch[shard_index::num_shards]``), assembled into one global array with
+    ``host_local_array_to_global_array`` so the single jitted step spans all
+    hosts and XLA emits the gradient all-reduces over ICI/DCN.
+
     Non-array leaves (token lists, None) pass through untouched.
     """
-    sharding = batch_sharding(mesh)
+    multi = jax.process_count() > 1
+    if multi:
+        from jax.experimental import multihost_utils
 
     def put(x):
         if x is None or not hasattr(x, "shape") or x.ndim == 0:
             return x
         spec = P(DATA_AXIS, *([None] * (x.ndim - 1)))
+        if multi:
+            return multihost_utils.host_local_array_to_global_array(
+                np.asarray(x), mesh, spec
+            )
         return jax.device_put(x, NamedSharding(mesh, spec))
 
     return jax.tree.map(put, batch)
@@ -110,6 +123,32 @@ def gather_string_lists(strings):
         for i in range(int(dims[p, 0])):
             out.append(bytes(all_arr[p, i, : int(all_lens[p, i])]).decode("utf-8"))
     return out
+
+
+def broadcast_json(obj, root: int = 0):
+    """Broadcast a JSON-serializable object from ``root`` to every process —
+    used to sync rank-0 metric dicts so early-stop/checkpoint decisions agree
+    on all hosts (the reference broadcasts via torch.distributed under
+    Accelerate; here a length-prefixed uint8 broadcast)."""
+    if jax.process_count() == 1:
+        return obj
+    import json
+
+    from jax.experimental import multihost_utils
+
+    payload = (
+        np.frombuffer(json.dumps(obj, default=str).encode("utf-8"), np.uint8)
+        if jax.process_index() == root else np.zeros((0,), np.uint8)
+    )
+    length = multihost_utils.broadcast_one_to_all(
+        np.asarray(len(payload), np.int32), is_source=jax.process_index() == root
+    )
+    buf = np.zeros((int(length),), np.uint8)
+    buf[: len(payload)] = payload
+    out = multihost_utils.broadcast_one_to_all(
+        buf, is_source=jax.process_index() == root
+    )
+    return json.loads(bytes(np.asarray(out)).decode("utf-8"))
 
 
 def gather_weighted_mean(value: float, weight: float) -> float:
