@@ -30,6 +30,12 @@ def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("name", nargs="?", help="catalog entry to fetch")
     parser.add_argument("--list", action="store_true")
+    parser.add_argument(
+        "--source",
+        help="install from a local directory or .zip archive instead of "
+             "downloading (air-gapped deployments; the reference's zip "
+             "extraction flow, zoo/utils.py:19-32)",
+    )
     args = parser.parse_args(argv)
 
     if args.list or not args.name:
@@ -48,6 +54,10 @@ def main(argv=None):
     if os.path.isdir(target):
         print(f"{args.name} already cached at {target}")
         return
+    if args.source:
+        install_from_source(args.source, target)
+        print(f"installed {args.name} to {target}")
+        return
     try:
         from huggingface_hub import snapshot_download
 
@@ -59,6 +69,24 @@ def main(argv=None):
             f"Cannot download {args.name!r} (no network egress in this "
             f"environment?): {e}\nPlace the files manually under {target}."
         )
+
+
+def install_from_source(source: str, target: str) -> None:
+    """Install a catalog entry from a local directory or .zip archive."""
+    import shutil
+    import zipfile
+
+    if not os.path.exists(source):
+        raise SystemExit(f"--source {source!r} does not exist")
+    os.makedirs(os.path.dirname(target), exist_ok=True)
+    if os.path.isdir(source):
+        shutil.copytree(source, target)
+    elif zipfile.is_zipfile(source):
+        os.makedirs(target, exist_ok=True)
+        with zipfile.ZipFile(source) as z:
+            z.extractall(target)
+    else:
+        raise SystemExit(f"--source must be a directory or .zip, got {source!r}")
 
 
 if __name__ == "__main__":

@@ -172,3 +172,74 @@ def test_overlay_keeps_mismatched_vocab():
     assert out["embeddings"]["word_embeddings"]["embedding"].sum() == 0  # kept
     assert out["layer_0"]["ffn"]["fc1"]["kernel"].sum() == 32  # loaded
     assert "lm_head" not in out
+
+
+def test_hf_vit_conversion_hidden_match(tmp_path):
+    """HF ViTModel weights -> our pre-LN ViT: last_hidden_state parity."""
+    import torch
+    from transformers import ViTConfig, ViTModel
+
+    from vilmedic_tpu.blocks.vision.vit import ViT
+    from vilmedic_tpu.zoo.convert_vision import convert_hf_vit
+
+    torch.manual_seed(4)
+    cfg = ViTConfig(hidden_size=HIDDEN, num_hidden_layers=LAYERS,
+                    num_attention_heads=HEADS, intermediate_size=INTER,
+                    image_size=32, patch_size=16)
+    model = ViTModel(cfg, add_pooling_layer=False).eval()
+    params = convert_hf_vit({k: v.numpy() for k, v in model.state_dict().items()})
+
+    rng = np.random.default_rng(4)
+    imgs = rng.normal(size=(2, 3, 32, 32)).astype(np.float32)
+    with torch.no_grad():
+        ref = model(pixel_values=torch.from_numpy(imgs)).last_hidden_state.numpy()
+
+    vit = ViT(hidden_size=HIDDEN, num_hidden_layers=LAYERS,
+              num_attention_heads=HEADS, intermediate_size=INTER,
+              image_size=32, patch_size=16, pre_ln=True)
+    ours = vit.apply({"params": params}, jnp.asarray(imgs.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=2e-4, rtol=2e-4)
+
+
+def test_rrg_hf_loads_pretrained_vit_and_decoder(tmp_path, torch_roberta_lm):
+    """RRG_HF with vision=<local ViT dir>, decoder=<local roberta dir> loads
+    BOTH towers' pretrained weights (reference RRG_HF.py:49-52, :90)."""
+    import torch
+    from transformers import ViTConfig, ViTModel
+
+    vit_dir = tmp_path / "tiny-vit"
+    dec_dir = tmp_path / "tiny-roberta"
+    torch.manual_seed(5)
+    ViTModel(ViTConfig(hidden_size=HIDDEN, num_hidden_layers=1,
+                       num_attention_heads=HEADS, intermediate_size=INTER,
+                       image_size=32, patch_size=16)).save_pretrained(vit_dir)
+    torch_roberta_lm.save_pretrained(dec_dir)
+
+    from vilmedic_tpu import registry
+
+    model = registry.get("model", "RRG_HF")(
+        vision=str(vit_dir), decoder=str(dec_dir),
+    )
+    assert model._pretrained_blocks["enc"] == (str(vit_dir), "vit")
+    assert model._pretrained_blocks["dec"] == (str(dec_dir), "causal")
+
+    batch = {
+        "images": jnp.zeros((1, 32, 32, 3)),
+        "input_ids": jnp.ones((1, 6), jnp.int32) * 3,
+        "attention_mask": jnp.ones((1, 6), jnp.int32),
+    }
+    variables = model.init_variables(jax.random.key(0), batch)
+    loaded = model.load_pretrained(variables)
+    # ViT cls token loaded exactly
+    from transformers import ViTModel as _V
+
+    ref_vit = _V.from_pretrained(vit_dir, local_files_only=True)
+    np.testing.assert_allclose(
+        np.asarray(loaded["params"]["enc"]["model"]["cls_token"]),
+        ref_vit.state_dict()["embeddings.cls_token"].numpy(), atol=1e-6,
+    )
+    before = variables["params"]["enc"]["model"]["cls_token"]
+    after = loaded["params"]["enc"]["model"]["cls_token"]
+    assert not np.allclose(np.asarray(before), np.asarray(after)) or np.allclose(
+        np.asarray(after), 0
+    )

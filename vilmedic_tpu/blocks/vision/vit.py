@@ -12,7 +12,31 @@ from typing import Any
 import flax.linen as nn
 import jax.numpy as jnp
 
-from ..transformer import EncoderLayer, TransformerConfig
+from ..transformer import EncoderLayer, FeedForward, MultiHeadAttention, TransformerConfig
+
+
+class ViTLayer(nn.Module):
+    """Pre-LayerNorm transformer layer (HF ``ViTLayer`` residual structure:
+    ``x += attn(ln_before(x)); x += mlp(ln_after(x))``) — required for
+    pretrained HF ViT weight parity (the BERT-style EncoderLayer is post-LN)."""
+
+    config: TransformerConfig
+
+    def setup(self):
+        cfg = self.config
+        self.ln_before = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=cfg.dtype,
+                                      name="ln_before")
+        self.self_attn = MultiHeadAttention(cfg, cross=False, name="self_attn")
+        self.ln_after = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=cfg.dtype,
+                                     name="ln_after")
+        self.ffn = FeedForward(cfg, name="ffn")
+        self.dropout = nn.Dropout(cfg.hidden_dropout_prob)
+
+    def __call__(self, x, deterministic=True):
+        attn, _ = self.self_attn(self.ln_before(x))
+        x = x + self.dropout(attn, deterministic=deterministic)
+        x = x + self.ffn(self.ln_after(x), deterministic=deterministic)
+        return x
 
 
 class ViT(nn.Module):
@@ -24,6 +48,8 @@ class ViT(nn.Module):
     image_size: int = 224
     hidden_dropout_prob: float = 0.0
     layer_norm_eps: float = 1e-12
+    #: pre-LN layers (HF ViT residual structure); default post-LN (BERT-style)
+    pre_ln: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -65,7 +91,10 @@ class ViT(nn.Module):
         x = x + pos.astype(self.dtype)
         x = nn.Dropout(self.hidden_dropout_prob)(x, deterministic=not train)
         for i in range(self.num_hidden_layers):
-            x = EncoderLayer(cfg, name=f"layer_{i}")(x, deterministic=not train)
+            if self.pre_ln:
+                x = ViTLayer(cfg, name=f"layer_{i}")(x, deterministic=not train)
+            else:
+                x = EncoderLayer(cfg, name=f"layer_{i}")(x, deterministic=not train)
         x = nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype, name="ln_final")(x)
         return x
 
@@ -73,6 +102,6 @@ class ViT(nn.Module):
 def make_vit(backbone: str, output_layer=None, dtype=jnp.float32, **kwargs) -> ViT:
     known = {
         "hidden_size", "num_hidden_layers", "num_attention_heads", "intermediate_size",
-        "patch_size", "image_size", "hidden_dropout_prob", "layer_norm_eps",
+        "patch_size", "image_size", "hidden_dropout_prob", "layer_norm_eps", "pre_ln",
     }
     return ViT(dtype=dtype, **{k: v for k, v in kwargs.items() if k in known})

@@ -127,8 +127,14 @@ class TaskModel:
                         f"cache; {key} keeps random init"
                     )
                 continue
-            conv = (convert_hf_causal_lm(sd) if kind == "causal"
-                    else convert_hf_text_encoder(sd))
+            if kind == "vit":
+                from ..zoo.convert_vision import convert_hf_vit
+
+                conv = {"model": convert_hf_vit(sd)}  # VisualEncoder.model
+            elif kind == "causal":
+                conv = convert_hf_causal_lm(sd)
+            else:
+                conv = convert_hf_text_encoder(sd)
             params[key] = overlay_params(params[key], conv, logger, key)
             if logger is not None:
                 logger.info(f"Loaded pretrained {name} weights into {key!r}")

@@ -77,6 +77,10 @@ class RRG_HF(TaskModel):
             if isinstance(decoder, str):
                 # pretrained decoder name: weights load post-init (ref :90)
                 self._pretrained_blocks["dec"] = (decoder, "causal")
+            if isinstance(vision, str) and vision_args.get("model_type") == "vit":
+                # pretrained HF ViT: build the pre-LN tower and load weights
+                vision_args = dict(vision_args, pre_ln=True)
+                self._pretrained_blocks["enc"] = (vision, "vit")
 
         # tokenizer special ids injected into the decoder config (reference :72-78)
         tok_overrides = {}
@@ -107,7 +111,7 @@ class RRG_HF(TaskModel):
                 k: v for k, v in vision_args.items()
                 if k in ("hidden_size", "num_hidden_layers", "num_attention_heads",
                          "intermediate_size", "patch_size", "image_size",
-                         "hidden_dropout_prob", "layer_norm_eps")
+                         "hidden_dropout_prob", "layer_norm_eps", "pre_ln")
             },
             dtype=compute_dtype,
         )

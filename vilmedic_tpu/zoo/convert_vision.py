@@ -90,3 +90,44 @@ def convert_resnet(state_dict: Dict, name: str = "resnet50") -> Tuple[Dict, Dict
             params[f"layer{si + 1}_block{bi}"] = p
             stats[f"layer{si + 1}_block{bi}"] = s
     return params, stats
+
+
+def convert_hf_vit(state_dict: Dict) -> Dict:
+    """HF ``ViTModel.state_dict()`` -> Flax ``blocks.vision.vit.ViT(pre_ln=True)``
+    params (reference RRG_HF builds the vision side from pretrained HF ViT
+    weights, RRG_HF.py:49-52). The unused pooler is dropped."""
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    proj = sd["embeddings.patch_embeddings.projection.weight"]  # (D, C, p, p)
+    params: Dict = {
+        "patch_embed": {
+            "kernel": np.transpose(proj, (2, 3, 1, 0)),
+            "bias": sd["embeddings.patch_embeddings.projection.bias"],
+        },
+        "cls_token": sd["embeddings.cls_token"],
+        "pos_embed": sd["embeddings.position_embeddings"],
+        "ln_final": {"scale": sd["layernorm.weight"], "bias": sd["layernorm.bias"]},
+    }
+
+    def lin(prefix):
+        return {"kernel": np.ascontiguousarray(sd[prefix + ".weight"].T),
+                "bias": sd[prefix + ".bias"]}
+
+    i = 0
+    while f"encoder.layer.{i}.layernorm_before.weight" in sd:
+        base = f"encoder.layer.{i}"
+        params[f"layer_{i}"] = {
+            "ln_before": {"scale": sd[f"{base}.layernorm_before.weight"],
+                          "bias": sd[f"{base}.layernorm_before.bias"]},
+            "self_attn": {
+                "q": lin(f"{base}.attention.attention.query"),
+                "k": lin(f"{base}.attention.attention.key"),
+                "v": lin(f"{base}.attention.attention.value"),
+                "o": lin(f"{base}.attention.output.dense"),
+            },
+            "ln_after": {"scale": sd[f"{base}.layernorm_after.weight"],
+                         "bias": sd[f"{base}.layernorm_after.bias"]},
+            "ffn": {"fc1": lin(f"{base}.intermediate.dense"),
+                    "fc2": lin(f"{base}.output.dense")},
+        }
+        i += 1
+    return params
