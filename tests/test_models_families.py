@@ -315,3 +315,45 @@ def test_rrg_device_preproc(workdir, tmp_path):
     batch = next(iter(trainor.dl))
     assert batch["images_u8"].dtype.name == "uint8"
     assert batch["images_u8"].shape[1:] == (40, 40, 3)
+
+
+def test_gloria_whole_word_aggregation():
+    """Subword embeddings sum into whole-word embeddings (reference
+    aggregate_tokens, GLoRIA.py:123-181): 'pneumo ##thorax' -> one word whose
+    embedding is the sum of the two pieces; [CLS]/[PAD] dropped, [SEP] kept."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vilmedic_tpu import registry
+
+    class _Tok:
+        vocab = {"[PAD]": 0, "[UNK]": 1, "[CLS]": 2, "[SEP]": 3,
+                 "pneumo": 4, "##thorax": 5, "clear": 6}
+        cls_token, sep_token, pad_token = "[CLS]", "[SEP]", "[PAD]"
+        vocab_size = 7
+
+    class _DS:
+        tokenizer = _Tok()
+
+    class _DL:
+        dataset = _DS()
+
+    gloria = registry.get("model", "GLoRIA")(
+        encoder={"proto": None, "hidden_size": 8, "num_hidden_layers": 1,
+                 "num_attention_heads": 2, "intermediate_size": 16,
+                 "max_position_embeddings": 16},
+        cnn={"backbone": "resnet18", "feature_dim": 8},
+        dl=_DL(),
+    )
+    # [CLS] pneumo ##thorax clear [SEP] [PAD]
+    ids = jnp.asarray([[2, 4, 5, 6, 3, 0]], jnp.int32)
+    mask = jnp.asarray([[1, 1, 1, 1, 1, 0]], jnp.int32)
+    emb = jnp.arange(1 * 6 * 8, dtype=jnp.float32).reshape(1, 6, 8)
+    agg, wmask = gloria._aggregate_words(emb, ids, mask)
+    # 3 words: pneumothorax (= piece1+piece2), clear, [SEP]
+    np.testing.assert_array_equal(np.asarray(wmask[0]), [1, 1, 1, 0, 0, 0])
+    np.testing.assert_allclose(
+        np.asarray(agg[0, 0]), np.asarray(emb[0, 1] + emb[0, 2]), rtol=1e-6
+    )
+    np.testing.assert_allclose(np.asarray(agg[0, 1]), np.asarray(emb[0, 3]), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(agg[0, 2]), np.asarray(emb[0, 4]), rtol=1e-6)

@@ -108,7 +108,11 @@ class TextDataset:
         from transformers import AutoTokenizer, BertTokenizer
 
         if tokenizer is not None:
-            return AutoTokenizer.from_pretrained(tokenizer)
+            try:
+                # local cache first — avoids slow network retries offline
+                return AutoTokenizer.from_pretrained(tokenizer, local_files_only=True)
+            except Exception:
+                return AutoTokenizer.from_pretrained(tokenizer)
         if vocab_file is None:
             vocab_file = os.path.join(self.ckpt_dir, f"vocab.{self.source}")
             if self.split == "train" and not os.path.exists(vocab_file):

@@ -241,11 +241,12 @@ def gloria_evaluation(models, config, dl, from_training=True, **kwargs):
 @registry.register("model")
 class GLoRIA(TaskModel):
     def __init__(self, encoder=None, cnn=None, loss=None, dl=None, logger=None,
-                 from_training=True, dtype="float32", **kwargs):
+                 from_training=True, dtype="float32", aggregate_words=True, **kwargs):
         compute_dtype = jnp.bfloat16 if str(dtype) in ("bfloat16", "bf16") else jnp.float32
         encoder = _d(encoder)
         loss = _d(loss or {"proto": "GLoRIALoss"})
         cnn = _d(cnn or {})
+        self.aggregate_words = bool(aggregate_words)
 
         vocab_size = dl.dataset.tokenizer.vocab_size if dl is not None else None
         self.enc_config = TransformerConfig.from_dict(
@@ -265,6 +266,45 @@ class GLoRIA(TaskModel):
         )
         self.eval_func = gloria_evaluation
         self.variables: Optional[Dict] = None
+        # whole-word aggregation tables (reference aggregate_tokens,
+        # GLoRIA.py:123-181): device constants built once from the tokenizer —
+        # "##" continuation pieces merge into their word by segment-sum.
+        self._cont_table = None
+        self._drop_table = None
+        if self.aggregate_words and self.tokenizer is not None:
+            import numpy as _np
+
+            vocab = self.tokenizer.vocab
+            cont = _np.zeros((len(vocab),), bool)
+            drop = _np.zeros((len(vocab),), bool)
+            for tok, idx in vocab.items():
+                if tok.startswith("##"):
+                    cont[idx] = True
+            for tok in (self.tokenizer.cls_token, self.tokenizer.pad_token):
+                if tok in vocab:
+                    drop[vocab[tok]] = True
+            self._cont_table = jnp.asarray(cont)
+            self._drop_table = jnp.asarray(drop)
+
+    def _aggregate_words(self, word_emb, input_ids, attention_mask):
+        """Sum wordpiece embeddings per whole word (static-shape: cumsum
+        segment ids + one-hot einsum; [SEP] kept as its own word like the
+        reference, [CLS]/[PAD] dropped). -> (agg_emb, word_mask)."""
+        t = input_ids.shape[1]
+        cont = self._cont_table[input_ids]
+        keep = (~self._drop_table[input_ids]) & (attention_mask > 0)
+        starts = (~cont) & keep
+        word_ids = jnp.cumsum(starts.astype(jnp.int32), axis=1) - 1
+        valid = keep & (word_ids >= 0)
+        oh = jax.nn.one_hot(
+            jnp.where(valid, word_ids, t), t + 1, dtype=word_emb.dtype
+        )[..., :t]  # (B, T_tok, T_word); invalid tokens land in the dropped bin
+        agg = jnp.einsum("btw,btd->bwd", oh, word_emb)
+        word_mask = (jnp.sum(oh, axis=1) > 0).astype(jnp.float32)
+        # masked slots would be exactly zero -> 0/0 in the loss's cosine
+        # normalization; backfill with a benign constant (they are masked out)
+        agg = jnp.where(word_mask[..., None] > 0, agg, 1.0)
+        return agg, word_mask
 
     def init_variables(self, rng, batch):
         return self.module.init(
@@ -287,10 +327,16 @@ class GLoRIA(TaskModel):
         if has_stats and train:
             out, updated = out
             new_stats = updated.get("batch_stats", {})
-        # mask out special tokens ([CLS]/[SEP]/[PAD]) for the word-level loss
+        word_embeddings = out["word_embeddings"]
         words_mask = out["words_mask"]
+        if self._cont_table is not None:
+            # whole-word aggregation (reference GLoRIA.py:123-181) instead of
+            # raw wordpiece embeddings for the local attention loss
+            word_embeddings, words_mask = self._aggregate_words(
+                word_embeddings, batch["input_ids"], batch["attention_mask"]
+            )
         loss = self.loss_fn(
-            out["global_features"], out["local_features"], out["word_embeddings"],
+            out["global_features"], out["local_features"], word_embeddings,
             out["sent_embeddings"], words_mask,
         )
         return {
