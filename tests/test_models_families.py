@@ -357,3 +357,39 @@ def test_gloria_whole_word_aggregation():
     )
     np.testing.assert_allclose(np.asarray(agg[0, 1]), np.asarray(emb[0, 3]), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(agg[0, 2]), np.asarray(emb[0, 4]), rtol=1e-6)
+
+
+def test_scst_chexbert_reward():
+    """SCST with the chexbert clinical reward (the flagship RL recipe,
+    reference config RRG_SCST + REWARD_COMPLIANT['chexbert']): per-sample
+    exact-match reward flows through get_reward with an injected labeler."""
+    import numpy as np
+
+    from vilmedic_tpu.blocks.rl.scst import SCST
+    from vilmedic_tpu.scorers.chexbert import CONDITIONS
+
+    class _Tok:
+        def decode(self, row, **kw):
+            return {0: "no acute disease", 1: "cardiomegaly",
+                    2: "effusion"}[int(row[0])]
+
+    class _FakeLabeler:
+        def get_labels(self, reports, mode="rrg"):
+            table = {
+                "no acute disease": [0] * 14,
+                "cardiomegaly": [0, 1] + [0] * 12,
+                "effusion": [0] * 9 + [1] + [0] * 4,
+            }
+            return [table[r] for r in reports]
+
+    scst = SCST(
+        tokenizer=_Tok(), max_length=8, bos_token_id=0, eos_token_id=2,
+        pad_token_id=1, scores=["chexbert"],
+        scores_args=[{"labeler": _FakeLabeler()}],
+    )
+    rollout = np.array([[1], [1], [2]])  # cardiomegaly, cardiomegaly, effusion
+    refs = np.array([[1], [0], [2]])     # cardiomegaly, no-acute, effusion
+    rewards, hyps, ref_list = scst.get_reward(rollout, refs)
+    assert len(rewards) == 1
+    # exact-match over TOP5 labels: pair0 match, pair1 mismatch, pair2 match
+    np.testing.assert_array_equal(rewards[0], [1.0, 0.0, 1.0])
