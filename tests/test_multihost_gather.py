@@ -66,3 +66,48 @@ def test_two_process_string_and_loss_gather(tmp_path):
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i} failed:\n{out[-3000:]}"
         assert f"proc {i} OK" in out
+
+
+WORKER_ARRAYS = '''
+import sys
+import numpy as np
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(
+    coordinator_address=sys.argv[1], num_processes=2, process_id=int(sys.argv[2])
+)
+sys.path.insert(0, {repo!r})
+from vilmedic_tpu.parallel.mesh import gather_arrays
+
+pid = jax.process_index()
+local = [np.arange(6, dtype=np.float32).reshape(3, 2),          # host 0: 3 rows
+         np.arange(100, 104, dtype=np.float32).reshape(2, 2)][pid]  # host 1: 2
+out = gather_arrays(local)
+expected = np.concatenate([np.arange(6).reshape(3, 2),
+                           np.arange(100, 104).reshape(2, 2)]).astype(np.float32)
+assert out.shape == (5, 2) and (out == expected).all(), out
+print(f"proc {{pid}} ARRAYS OK")
+'''
+
+
+def test_two_process_ragged_array_gather(tmp_path):
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    script = tmp_path / "worker_arrays.py"
+    script.write_text(WORKER_ARRAYS.format(repo=REPO))
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), f"localhost:{port}", str(i)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=240)[0] for p in procs]
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{out[-3000:]}"
+        assert f"proc {i} ARRAYS OK" in out

@@ -83,10 +83,19 @@ class Validator:
                 loss = gather_weighted_mean(
                     loss, len(refs) if isinstance(refs, list) else 1.0
                 )
-                if isinstance(refs, list):
-                    refs = gather_string_lists(refs)
-                if isinstance(hyps, list):
-                    hyps = gather_string_lists(hyps)
+                import numpy as _np
+
+                from ..parallel.mesh import gather_arrays
+
+                def _gather(x):
+                    if isinstance(x, list):
+                        return gather_string_lists(x)
+                    if isinstance(x, _np.ndarray):  # classifier logits/labels
+                        return gather_arrays(x)
+                    return x
+
+                refs = _gather(refs)
+                hyps = _gather(hyps)
             scores = {"validation_loss": loss}
 
             if jax.process_index() == 0:

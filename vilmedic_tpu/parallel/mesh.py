@@ -151,6 +151,25 @@ def broadcast_json(obj, root: int = 0):
     return json.loads(bytes(np.asarray(out)).decode("utf-8"))
 
 
+def gather_arrays(x: np.ndarray) -> np.ndarray:
+    """Gather per-host arrays of possibly different leading sizes across
+    processes (classifier eval logits/labels), concatenated in process order."""
+    if jax.process_count() == 1:
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+
+    x = np.asarray(x)
+    counts = multihost_utils.process_allgather(np.asarray([len(x)], np.int32))
+    max_n = int(counts.max())
+    padded = np.zeros((max_n, *x.shape[1:]), x.dtype)
+    padded[: len(x)] = x
+    gathered = multihost_utils.process_allgather(padded)  # (P, max_n, ...)
+    return np.concatenate(
+        [gathered[p, : int(counts[p, 0])] for p in range(gathered.shape[0])],
+        axis=0,
+    )
+
+
 def gather_weighted_mean(value: float, weight: float) -> float:
     """Weighted cross-process mean (eval loss gathering, reference
     validator_accelerate.py:155-162 weighted loss tensors)."""
