@@ -29,7 +29,7 @@ the contract, orientation, and tuple-F1 semantics match. Per-pair
 from __future__ import annotations
 
 import re
-from typing import List, Sequence, Set, Tuple
+from typing import List, Set, Tuple
 
 import numpy as np
 
@@ -81,11 +81,13 @@ def extract_tuples(text: str) -> Set[Tuple]:
                 pending_attrs.append(w)
             elif w in RELATIONS:
                 pending_attrs = []
+                negate = False  # prepositions end the negation scope
             elif w in FUNCTION:
-                if w not in ("the", "a", "an"):  # determiners keep attr chain
+                if w not in ("the", "a", "an", "and", "or"):
+                    # determiners/conjunctions keep the attr chain and let
+                    # negation distribute ("no edema or effusion")
                     pending_attrs = []
-                if w in ("and", "or"):
-                    negate = negate  # negation distributes over conjunction
+                    negate = False
             else:
                 noun = _lemma(w)
                 tuples.add((noun,))

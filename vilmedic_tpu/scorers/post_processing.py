@@ -21,8 +21,6 @@ from __future__ import annotations
 
 import logging
 import os
-from typing import Dict, List, Optional
-
 import numpy as np
 
 logger = logging.getLogger(__name__)

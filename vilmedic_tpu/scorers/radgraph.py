@@ -25,7 +25,7 @@ relation-capable annotator (``annotator=`` arg) to restore full semantics.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List
 
 import numpy as np
 
