@@ -79,7 +79,7 @@ print("RESULT " + json.dumps(out, default=float), flush=True)
 '''
 
 
-def _run_cluster(tmp_path, nproc):
+def _run_cluster(tmp_path, nproc, local_devices=1):
     with socket.socket() as s:
         s.bind(("localhost", 0))
         port = s.getsockname()[1]
@@ -87,6 +87,8 @@ def _run_cluster(tmp_path, nproc):
     script.write_text(WORKER.format(repo=REPO))
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)
+    if local_devices > 1:
+        env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={local_devices}"
     env["JAX_PLATFORMS"] = "cpu"
     procs = [
         subprocess.Popen(
@@ -126,3 +128,17 @@ def test_two_process_training_matches_single(tmp_path):
     # rank 0 alone wrote the checkpoint
     ckpts = glob.glob(str(tmp_path / "ckpt_2p" / "*.ckpt"))
     assert len(ckpts) == 1, ckpts
+
+
+def test_two_process_four_device_training(tmp_path):
+    """2 hosts x 4 devices each — the realistic DCN-between / ICI-within
+    topology: global mesh of 8, per-host shards assembled into the global
+    batch, identical losses on both ranks."""
+    for split in ("train", "validate"):
+        (tmp_path / f"{split}.findings.tok").write_text("\n".join(FINDINGS))
+        (tmp_path / f"{split}.impression.tok").write_text("\n".join(IMPRESSIONS))
+    multi = _run_cluster(tmp_path, 2, local_devices=4)
+    import numpy as np
+
+    np.testing.assert_allclose(multi[0]["losses"], multi[1]["losses"], rtol=1e-6)
+    assert multi[0]["scores"]["ROUGEL"] == multi[1]["scores"]["ROUGEL"]

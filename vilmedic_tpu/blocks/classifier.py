@@ -58,7 +58,10 @@ def evaluation(models, config, dl, from_training=True, **kwargs) -> Dict:
     for m in models:
         variables = m.variables
         if mesh is not None:
-            # params may be committed to the training mesh: replicate once
+            # params may be committed to the (possibly global) training mesh:
+            # stage through host numpy, then replicate on the local mesh
+            if jax.process_count() > 1:
+                variables = jax.tree.map(lambda x: np.asarray(x), variables)
             variables = jax.device_put(variables, repl)
         fn = jax.jit(
             lambda variables, images, labels, _m=m: _m.apply_eval(

@@ -166,10 +166,17 @@ def evaluation(models, config, dl, from_training=True, **kwargs) -> Dict[str, An
         mesh = get_mesh(devices=devices)
         pad_target = math.ceil(int(batch_size) / n_dev) * n_dev
         # params may be committed to a different (training) mesh — replicate
-        # them onto the full eval mesh once up front.
+        # them onto the local eval mesh once up front. Multi-host: the trained
+        # state lives on a GLOBAL mesh; a direct device_put would need
+        # cross-host transfers, so stage through host numpy (replicated
+        # arrays are fully addressable per host).
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         repl = NamedSharding(mesh, P())
+        if jax.process_count() > 1:
+            variables_list = [
+                jax.tree.map(lambda x: np.asarray(x), v) for v in variables_list
+            ]
         variables_list = [jax.device_put(v, repl) for v in variables_list]
 
     generate = make_generate_fn(
