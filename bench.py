@@ -107,16 +107,23 @@ def main():
         cross_cache = tile_for_beams(cross_cache, BEAM)
         enc_m = tile_for_beams(enc_m.astype(jnp.int32), BEAM)
 
+        from vilmedic_tpu.blocks.transformer import make_blocked_head_weights
+
+        blocked = make_blocked_head_weights(
+            variables["params"]["dec"], module.dec_config.dtype
+        )
+
         def step_fn(tokens, self_cache, index):
             logits, new_self = module.apply(
                 variables, tokens, self_cache, cross_cache, enc_m, index,
+                blocked_head=blocked,
                 method=type(module).decode_step,
             )
-            return logits[:, -1], new_self
+            return logits, new_self
 
         return beam_search(
             step_fn, self_cache, BATCH, BEAM, MAX_LEN, bos_id=0, eos_id=2, pad_id=1,
-            length_penalty=1.0,
+            length_penalty=1.0, blocked_vocab=VOCAB,
         ).sequences
 
     # compile + warmup. NOTE: on the axon tunnel backend block_until_ready does

@@ -161,3 +161,104 @@ def test_batch_beam_candidates_match_two_stage():
     np.testing.assert_allclose(np.asarray(scores), exp_scores, rtol=1e-5, atol=1e-5)
     np.testing.assert_array_equal(np.asarray(beams), order // v)
     np.testing.assert_array_equal(np.asarray(tokens), order % v)
+
+
+def test_blocked_candidates_match_two_stage():
+    """_candidates_from_blocks (pre-blocked logits from a blocked LM head,
+    transformer._head_blocked) is exactly the flat-path selection."""
+    from vilmedic_tpu.decoding.decode import (
+        _PAD_NEG,
+        _batch_beam_candidates,
+        _candidates_from_blocks,
+    )
+
+    b, k, v = 3, 8, 6021
+    blk = 128
+    nb = -(-v // blk)
+    rng = np.random.default_rng(1)
+    logits = jnp.asarray(rng.normal(size=(b * k, v)) * 4, jnp.float32)
+    alive = jnp.asarray(rng.normal(size=(b, k)), jnp.float32)
+    r = 2 * k
+
+    xp = jnp.pad(logits, ((0, 0), (0, nb * blk - v)), constant_values=_PAD_NEG)
+    xp = xp.reshape(b * k, nb, blk)
+
+    s1, b1, t1 = jax.jit(lambda l, a: _batch_beam_candidates(l, b, k, a, r))(
+        logits, alive
+    )
+    s2, b2, t2 = jax.jit(lambda l, a: _candidates_from_blocks(l, b, k, a, r))(
+        xp, alive
+    )
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+    np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2))
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+
+
+def test_blocked_beam_search_matches_plain():
+    """End-to-end: beam_search(blocked_vocab=V) over pre-blocked step logits
+    returns the same sequences and scores as the plain (N, V) path."""
+    from vilmedic_tpu.decoding.decode import _PAD_NEG
+
+    v = 4500  # >= 4096 so the plain path uses the blockwise selection too
+    blk = 128
+    nb = -(-v // blk)
+    rng = np.random.default_rng(3)
+    table = rng.normal(size=(v, v)).astype(np.float32) * 2
+    table_j = jnp.asarray(table)
+
+    def plain_step(tokens, caches, index):
+        return table_j[tokens[:, 0] % v], caches
+
+    def blocked_step(tokens, caches, index):
+        logits = table_j[tokens[:, 0] % v]
+        xp = jnp.pad(
+            logits, ((0, 0), (0, nb * blk - v)), constant_values=_PAD_NEG
+        )
+        return xp.reshape(logits.shape[0], nb, blk), caches
+
+    k = 4
+    r1 = beam_search(plain_step, {}, batch_size=2, beam_size=k, max_len=6,
+                     bos_id=0, eos_id=1, pad_id=2)
+    r2 = beam_search(blocked_step, {}, batch_size=2, beam_size=k, max_len=6,
+                     bos_id=0, eos_id=1, pad_id=2, blocked_vocab=v)
+    np.testing.assert_array_equal(np.asarray(r1.sequences), np.asarray(r2.sequences))
+    np.testing.assert_array_equal(np.asarray(r1.scores), np.asarray(r2.scores))
+
+
+def test_blocked_head_logit_parity():
+    """TransformerDecoder._head_blocked == _head on the real vocab columns,
+    with padded lanes below any real logit (cpu: bit-exact; the TPU-side
+    bit-exactness of the preferred_element_type=f32 route is asserted by the
+    bench checksum)."""
+    from vilmedic_tpu.blocks.transformer import (
+        TransformerConfig,
+        TransformerDecoder,
+        make_blocked_head_weights,
+    )
+
+    cfg = TransformerConfig(
+        vocab_size=1000, hidden_size=64, num_hidden_layers=1,
+        num_attention_heads=4, intermediate_size=128,
+        add_cross_attention=True, dtype=jnp.bfloat16,
+    )
+    dec = TransformerDecoder(cfg)
+    rng = np.random.default_rng(0)
+    enc_h = jnp.asarray(rng.normal(size=(2, 5, 64)), jnp.float32)
+    ids = jnp.asarray(rng.integers(0, 1000, (2, 4)), jnp.int32)
+    em = jnp.ones((2, 5), jnp.int32)
+    vs = dec.init(jax.random.key(0), ids, jnp.ones((2, 4), jnp.int32), enc_h, em)
+    self_c, cross_c = dec.apply(
+        vs, encoder_hidden_states=enc_h, mode="init_cache", max_len=8
+    )
+    blocked = make_blocked_head_weights(vs["params"], cfg.dtype)
+    tok = jnp.asarray([[3], [4]], jnp.int32)
+    di = jnp.asarray(0, jnp.int32)
+    lo, _ = dec.apply(vs, tok, encoder_attention_mask=em, mode="decode",
+                      cache=(self_c, cross_c), decode_index=di)
+    lb, _ = dec.apply(vs, tok, encoder_attention_mask=em, mode="decode",
+                      cache=(self_c, cross_c), decode_index=di,
+                      blocked_head=blocked)
+    lo = np.asarray(lo)[:, -1]
+    lbf = np.asarray(lb).reshape(2, -1)
+    np.testing.assert_allclose(lbf[:, :1000], lo, rtol=0, atol=2e-2)
+    assert lbf[:, 1000:].max() <= -1e29

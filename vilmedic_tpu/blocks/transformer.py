@@ -80,6 +80,30 @@ class TransformerConfig:
         return self.hidden_size // self.num_attention_heads
 
 
+def make_blocked_head_weights(dec_params, dtype, block: int = 128):
+    """Pad the LM head to a multiple of ``block`` output columns, ONCE.
+
+    Returns ``(kernel (H, nb*block) dtype, bias (nb*block,) dtype)`` with padded
+    kernel columns at 0 and padded bias lanes at -1e30, for
+    ``TransformerDecoder._head_blocked``. Build this outside the decode loop
+    and close over it so it enters ``lax.while_loop`` as an invariant.
+    """
+    kernel = dec_params["lm_head"]["kernel"]
+    bias = dec_params["lm_head"]["bias"]
+    v = kernel.shape[1]
+    nb = -(-v // block)
+    pad = nb * block - v
+    kb = jnp.pad(kernel, ((0, 0), (0, pad))).astype(dtype)
+    # Bias mirrors the unblocked path's effective numerics: flax Dense rounds
+    # the bias to the compute dtype, then XLA folds `_head`'s astype(f32) into
+    # the dot (removing the bf16 output rounding) and converts the bias back
+    # up — so: round-trip through `dtype`, add in f32.
+    bb = jnp.pad(bias, (0, pad), constant_values=-1.0e30).astype(dtype).astype(
+        jnp.float32
+    )
+    return kb, bb
+
+
 def _dense(cfg: TransformerConfig, features: int, name: str) -> nn.Dense:
     return nn.Dense(
         features,
@@ -141,6 +165,10 @@ class MultiHeadAttention(nn.Module):
             v_new = self._split(self.v_proj(x))
             if cache is not None:
                 # Incremental decode: write this step's K/V at decode_index.
+                # (A (B, H, T, D) cache layout with matching einsums was tried
+                # to kill the while-carry relayout copies: no speedup on v5e
+                # and the reordered contraction perturbs near-tie beam choices
+                # by 1 ulp — keep (B, T, H, D).)
                 idx = decode_index.astype(jnp.int32)
                 k = jax.lax.dynamic_update_slice(
                     cache["k"], k_new.astype(cache["k"].dtype), (0, idx, 0, 0)
@@ -317,6 +345,36 @@ class TransformerDecoder(nn.Module):
         # downstream pad+block-reduce underperforms the f32 (8,128) path.
         return out if keep_dtype else out.astype(jnp.float32)
 
+    def _head_blocked(self, h, blocked_weights, block: int = 128):
+        """LM head emitting (N, nb, block) f32 logits, padded lanes at <= -1e30.
+
+        ``blocked_weights`` is the (padded kernel (H, nb*block), padded bias)
+        pair from :func:`make_blocked_head_weights`, built ONCE outside the
+        decode loop (building it in-step re-pads the full vocab kernel every
+        token — measured ~160 us/step at vocab 50k on v5e; XLA does not hoist
+        it). The contraction is the same 2-D bf16 matmul flax ``Dense`` emits —
+        zero-padded output columns cannot change the real columns' bits — so
+        beam choices are bit-identical to the unblocked head while the
+        candidate selection skips its per-step pad of the logits tensor.
+        """
+        cfg = self.config
+        if cfg.lm_head_transform:
+            h = self.lm_transform_ln(nn.gelu(self.lm_transform(h), approximate=False))
+        kb, bb = blocked_weights
+        # f32-accumulated dot + f32 bias add: bit-identical to what XLA's
+        # simplifier makes of `_head` (convert(dot_bf16) -> dot with
+        # preferred_element_type=f32), so beam choices don't shift.
+        out = jnp.matmul(
+            h.reshape(-1, kb.shape[0]).astype(cfg.dtype), kb,
+            preferred_element_type=jnp.float32,
+        ) + bb
+        # Measured equivalents/negatives on v5e (don't redo): a 3-D rhs einsum
+        # ('nh,hbv->nbv', pref f32) lowers to this same matmul+reshape; without
+        # preferred_element_type it takes a bf16-accumulated path (wrong bits);
+        # a flat variant feeding reduce_window block-stats is 2x slower.
+        nb = out.shape[-1] // block
+        return out.reshape(out.shape[0], nb, block)
+
     def __call__(
         self,
         input_ids=None,
@@ -328,6 +386,7 @@ class TransformerDecoder(nn.Module):
         cache=None,
         decode_index=None,
         max_len: Optional[int] = None,
+        blocked_head=None,  # (padded kernel, padded bias) — make_blocked_head_weights
     ):
         cfg = self.config
 
@@ -374,7 +433,11 @@ class TransformerDecoder(nn.Module):
                     decode_index,
                 )
                 new_cache.append({"self_k": new_self["k"], "self_v": new_self["v"]})
-            logits = self._head(h, keep_dtype=False)
+            if blocked_head is not None and blocked_head != 0:
+                # (N, nb, block) f32 — consumed by beam_search(blocked_vocab=V)
+                logits = self._head_blocked(h[:, -1], blocked_head)
+            else:
+                logits = self._head(h, keep_dtype=False)
             return logits, tuple(new_cache)
 
         # train / teacher-forced eval

@@ -50,13 +50,15 @@ class RRGModule(nn.Module):
             encoder_hidden_states=enc_hidden, mode="init_cache", max_len=max_len
         )
 
-    def decode_step(self, tokens, self_cache, cross_cache, enc_mask, index):
+    def decode_step(self, tokens, self_cache, cross_cache, enc_mask, index,
+                    blocked_head=None):
         return self.dec(
             tokens,
             encoder_attention_mask=enc_mask,
             mode="decode",
             cache=(self_cache, cross_cache),
             decode_index=index,
+            blocked_head=blocked_head,
         )
 
 
