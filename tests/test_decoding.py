@@ -262,3 +262,62 @@ def test_blocked_head_logit_parity():
     lbf = np.asarray(lb).reshape(2, -1)
     np.testing.assert_allclose(lbf[:, :1000], lo, rtol=0, atol=2e-2)
     assert lbf[:, 1000:].max() <= -1e29
+
+
+def test_blocked_shard_map_decode_matches_unsharded():
+    """Large-vocab (blocked-LM-head) beam decode under shard_map: same
+    sequences as the unsharded path, and the decode loop stays free of
+    cross-device collectives."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    from vilmedic_tpu.blocks.transformer import TransformerConfig
+    from vilmedic_tpu.models.evaluation_nlg import make_generate_fn
+    from vilmedic_tpu.models.rrs import RRSModule
+    from vilmedic_tpu.parallel.mesh import get_mesh
+
+    enc_cfg = TransformerConfig(
+        vocab_size=97, hidden_size=32, num_hidden_layers=1,
+        num_attention_heads=2, intermediate_size=64,
+        max_position_embeddings=32,
+    )
+    dec_cfg = TransformerConfig(
+        vocab_size=4500, hidden_size=32, num_hidden_layers=1,
+        num_attention_heads=2, intermediate_size=64,
+        max_position_embeddings=32, add_cross_attention=True,
+    )
+    module = RRSModule(enc_config=enc_cfg, dec_config=dec_cfg)
+    rng = np.random.default_rng(0)
+    b, t = 8, 6
+    ids = jnp.asarray(rng.integers(3, 97, (b, t)), jnp.int32)
+    mask = jnp.ones((b, t), jnp.int32)
+    dec_ids = jnp.asarray(rng.integers(3, 4500, (b, 5)), jnp.int32)
+    variables = module.init(
+        jax.random.key(0), ids, mask, dec_ids, jnp.ones((b, 5), jnp.int32)
+    )
+
+    class _Shim:  # the surface make_generate_fn needs
+        pass
+
+    m = _Shim()
+    m.module = module
+    m.dec_config = dec_cfg
+    enc_inputs = {"input_ids": ids, "attention_mask": mask}
+
+    plain = make_generate_fn(
+        [m], beam_width=3, max_len=7, bos_id=0, eos_id=1, pad_id=2,
+        length_penalty=1.0,
+    )
+    seq_plain = np.asarray(plain([variables], enc_inputs))
+
+    mesh = get_mesh(devices=jax.devices())
+    assert len(jax.devices()) > 1
+    sharded = make_generate_fn(
+        [m], beam_width=3, max_len=7, bos_id=0, eos_id=1, pad_id=2,
+        length_penalty=1.0, mesh=mesh,
+    )
+    hlo = sharded.lower([variables], enc_inputs).compile().as_text()
+    for coll in ("all-gather", "all-reduce", "collective-permute", "all-to-all"):
+        assert coll not in hlo, f"decode HLO contains {coll}"
+    seq_sharded = np.asarray(sharded([variables], enc_inputs))
+    np.testing.assert_array_equal(seq_plain, seq_sharded)
