@@ -149,3 +149,23 @@ def test_dataloader_order_and_prefetch(tmp_path):
     b0 = next(iter(dl0))["x"].ravel().tolist()
     b1 = next(iter(dl1))["x"].ravel().tolist()
     assert sorted(b0 + b1) == [0, 1, 2, 3]
+
+
+def test_offline_mode_fails_fast(monkeypatch, tmp_path):
+    """VILMEDIC_OFFLINE=1 -> uncached HF tokenizer names raise immediately
+    instead of hitting the network with slow retries."""
+    import pytest
+
+    from vilmedic_tpu.constants import offline_mode
+    from vilmedic_tpu.data.text import TextDataset
+
+    monkeypatch.setenv("VILMEDIC_OFFLINE", "1")
+    assert offline_mode()
+    root = tmp_path
+    (root / "train.x.tok").write_text("hello world\n")
+    with pytest.raises(RuntimeError, match="VILMEDIC_OFFLINE"):
+        TextDataset(
+            root=str(root), file="x.tok", split="train",
+            tokenizer="nonexistent/never-cached-model-xyz",
+            tokenizer_max_len=16, ckpt_dir=str(root),
+        )

@@ -112,6 +112,14 @@ class TextDataset:
                 # local cache first — avoids slow network retries offline
                 return AutoTokenizer.from_pretrained(tokenizer, local_files_only=True)
             except Exception:
+                from ..constants import offline_mode
+
+                if offline_mode():
+                    raise RuntimeError(
+                        f"Tokenizer {tokenizer!r} not in the local HF cache and "
+                        f"VILMEDIC_OFFLINE is set — pre-populate the cache or "
+                        f"unset the env var."
+                    )
                 return AutoTokenizer.from_pretrained(tokenizer)
         if vocab_file is None:
             vocab_file = os.path.join(self.ckpt_dir, f"vocab.{self.source}")

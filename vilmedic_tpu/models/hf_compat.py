@@ -40,10 +40,21 @@ def _d(cfg):
 
 
 def _resolve_hf_config(name: str) -> Dict:
-    """Pull a config dict from the local HF cache for a pretrained name."""
+    """Pull a config dict for a pretrained name — local HF cache first, network
+    only as a fallback (never when VILMEDIC_OFFLINE is set)."""
     from transformers import AutoConfig
 
-    return AutoConfig.from_pretrained(name).to_dict()
+    try:
+        return AutoConfig.from_pretrained(name, local_files_only=True).to_dict()
+    except Exception:
+        from ..constants import offline_mode
+
+        if offline_mode():
+            raise RuntimeError(
+                f"HF config {name!r} not in the local cache and VILMEDIC_OFFLINE "
+                f"is set — pre-populate the cache or unset the env var."
+            )
+        return AutoConfig.from_pretrained(name).to_dict()
 
 
 def _config_args(section: Dict) -> Dict:
