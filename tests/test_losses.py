@@ -92,3 +92,70 @@ def test_gloria_loss_jits_and_prefers_alignment():
         img_global, img_local, img_local[::-1][:, :t], img_global[::-1], mask
     )
     assert float(aligned) < float(permuted)
+
+
+def test_gloria_local_loss_matches_reference_ragged_oracle():
+    """Quantified parity for the GLoRIA local loss (VERDICT r1 weak #9): our
+    batched masked implementation must equal the reference's per-sample loop
+    (GLoRIALoss.py:80-127 semantics: each caption sliced to its true length,
+    two-softmax attention, cosine rows, log-sum-exp, CE both ways) — with
+    RAGGED caption lengths, which exercises the masked first softmax."""
+    import numpy as np
+
+    from vilmedic_tpu.blocks.losses import GLoRIALoss
+
+    rng = np.random.default_rng(0)
+    b, s, tmax, d = 4, 9, 6, 8
+    t1, t2, t3 = 4.0, 5.0, 10.0
+    img = rng.normal(size=(b, s, d)).astype(np.float64)
+    words = rng.normal(size=(b, tmax, d)).astype(np.float64)
+    lens = np.asarray([6, 3, 5, 2])
+    mask = (np.arange(tmax)[None, :] < lens[:, None]).astype(np.float32)
+
+    def softmax(x, axis):
+        x = x - x.max(axis=axis, keepdims=True)
+        e = np.exp(x)
+        return e / e.sum(axis=axis, keepdims=True)
+
+    # oracle: reference loop, text i against every image
+    ref_sims = np.zeros((b, b))  # [image j, text i] like the reference cat
+    for i in range(b):
+        L = int(lens[i])
+        word = words[i, :L]  # (L, D)
+        for j in range(b):
+            ctx = img[j]  # (S, D)
+            a = ctx @ word.T  # (S, L)
+            a = softmax(a, axis=1)  # over words (valid only)
+            a = softmax(a.T * t1, axis=1)  # (L, S) over regions
+            wctx = a @ ctx  # (L, D)
+            num = (word * wctx).sum(-1)
+            den = np.clip(
+                np.linalg.norm(word, axis=-1) * np.linalg.norm(wctx, axis=-1),
+                1e-8, None,
+            )
+            cos = num / den
+            ref_sims[j, i] = np.log(np.exp(cos * t2).sum())
+    ref_sims *= t3
+
+    def ce(scores):
+        logp = scores - np.log(np.exp(scores - scores.max(1, keepdims=True)).sum(1, keepdims=True)) - scores.max(1, keepdims=True)
+        return -np.mean(np.diag(logp))
+
+    ref_total = ce(ref_sims) + ce(ref_sims.T)
+
+    loss = GLoRIALoss(temp1=t1, temp2=t2, temp3=t3)
+    l0, l1 = loss.local_loss(
+        jnp.asarray(img, jnp.float32), jnp.asarray(words, jnp.float32),
+        jnp.asarray(mask),
+    )
+    ours_total = float(l0 + l1)
+    np.testing.assert_allclose(ours_total, ref_total, rtol=2e-5, atol=2e-5)
+
+    # global loss against the same-style oracle
+    g_img = rng.normal(size=(b, d))
+    g_txt = rng.normal(size=(b, d))
+    gn = g_img / np.linalg.norm(g_img, axis=-1, keepdims=True)
+    tn = g_txt / np.linalg.norm(g_txt, axis=-1, keepdims=True)
+    ref_g = ce(gn @ tn.T * t3) + ce((gn @ tn.T * t3).T)
+    g0, g1 = loss.global_loss(jnp.asarray(g_img, jnp.float32), jnp.asarray(g_txt, jnp.float32))
+    np.testing.assert_allclose(float(g0 + g1), ref_g, rtol=2e-5, atol=2e-5)

@@ -215,13 +215,21 @@ class VICREGLoss:
         return self.sim_loss_weight * sim + self.var_loss_weight * var + self.cov_loss_weight * cov
 
 
-def gloria_attention(word, context, temp1):
+def gloria_attention(word, context, temp1, word_mask=None):
     """Static-shape port of ``gloria_attention_fn`` (reference GLoRIALoss.py:14-51).
 
     word: (B, T, D) queries, context: (B, S, D) image regions.
     Returns weighted context (B, T, D) and attention (B, T, S).
+
+    ``word_mask`` (B, T) excludes padded word slots from the FIRST softmax
+    (over words): the reference slices each caption to its true length before
+    attending, so padded slots must not appear in that denominator — without
+    the mask, region attention for the *valid* words drifts from the
+    reference whenever captions are padded.
     """
     attn = jnp.einsum("bsd,btd->bst", context, word)  # (B, S, T)
+    if word_mask is not None:
+        attn = jnp.where(word_mask[:, None, :] > 0, attn, -jnp.inf)
     attn = jax.nn.softmax(attn, axis=-1)  # over words
     attn = jnp.swapaxes(attn, 1, 2)  # (B, T, S)
     attn = jax.nn.softmax(attn * temp1, axis=-1)  # over regions
@@ -261,8 +269,10 @@ class GLoRIALoss:
         def sim_row(word, mask):
             # word (T, D) vs every image in the batch
             word_b = jnp.broadcast_to(word[None], (b,) + word.shape)
+            mask_b = jnp.broadcast_to(mask[None], (b,) + mask.shape)
             weighted, _ = gloria_attention(
-                word_b, img_features.astype(jnp.float32), self.temp1
+                word_b, img_features.astype(jnp.float32), self.temp1,
+                word_mask=mask_b,
             )
             cos = jnp.sum(
                 _l2_normalize(word_b) * _l2_normalize(weighted), axis=-1
