@@ -151,11 +151,18 @@ class _SCSTBase(TaskModel):
                     variables, sampled_ids, att, enc_h, enc_m.astype(jnp.int32),
                     method=_decoder_forward,
                 )
-                logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-                tok = sampled_ids[:, 1:]
-                tok_logp = jnp.take_along_axis(
-                    logp[:, :-1], tok[..., None].astype(jnp.int32), axis=-1
-                ).squeeze(-1)
+                # lse - picked logit instead of materializing the (B, T, V)
+                # f32 log-softmax (same trick as causal_lm_loss — saves the
+                # full logits-sized write+read and the scatter in
+                # take_along_axis's backward)
+                shift_logits = logits[:, :-1, :].astype(jnp.float32)
+                tok = sampled_ids[:, 1:].astype(jnp.int32)
+                lse = jax.nn.logsumexp(shift_logits, axis=-1)
+                iota = jax.lax.broadcasted_iota(jnp.int32, shift_logits.shape, 2)
+                picked = jnp.sum(
+                    jnp.where(iota == tok[..., None], shift_logits, 0.0), axis=-1
+                )
+                tok_logp = picked - lse
                 loss = scst_loss(tok_logp, tok, advantages, weights, pad)
                 if use_nll:
                     gt_logits = module.apply(
