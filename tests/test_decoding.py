@@ -321,3 +321,46 @@ def test_blocked_shard_map_decode_matches_unsharded():
         assert coll not in hlo, f"decode HLO contains {coll}"
     seq_sharded = np.asarray(sharded([variables], enc_inputs))
     np.testing.assert_array_equal(seq_plain, seq_sharded)
+
+
+def test_greedy_and_sample_matches_separate_rollouts():
+    """The fused 2x-batch SCST rollout (greedy rows first) must reproduce
+    greedy_search + sample exactly, given the same rng."""
+    from vilmedic_tpu.decoding import (
+        greedy_and_sample,
+        greedy_search,
+        sample,
+        stack_for_rollouts,
+    )
+
+    rng = np.random.default_rng(5)
+    table = rng.normal(size=(VOCAB, VOCAB)).astype(np.float32) * 2
+    key = jax.random.key(7)
+    b = 4
+    caches = {"payload": jnp.arange(b * 3, dtype=jnp.float32).reshape(b, 3)}
+
+    g = greedy_search(_toy_step_fn(table), caches, b, MAX_LEN, BOS, EOS, PAD,
+                      forced_eos=True)
+    s = sample(_toy_step_fn(table), caches, b, MAX_LEN, BOS, EOS, PAD, rng=key,
+               top_k=3, bad_words=(PAD, BOS), forced_eos=True)
+    g2, s2 = greedy_and_sample(
+        _toy_step_fn(table), stack_for_rollouts(caches), b, MAX_LEN,
+        BOS, EOS, PAD, rng=key, top_k=3, bad_words=(PAD, BOS), forced_eos=True,
+    )
+    np.testing.assert_array_equal(np.asarray(g.sequences), np.asarray(g2.sequences))
+    np.testing.assert_array_equal(np.asarray(s.sequences), np.asarray(s2.sequences))
+    np.testing.assert_array_equal(np.asarray(g.lengths), np.asarray(g2.lengths))
+    np.testing.assert_array_equal(np.asarray(s.lengths), np.asarray(s2.lengths))
+
+
+def test_kth_largest_blockwise_exact():
+    """The blockwise top-k sampling threshold equals np.sort's k-th largest at
+    large vocab (lax.top_k there lowers to a ~1.7 ms/step full sort on TPU)."""
+    from vilmedic_tpu.decoding.decode import _kth_largest
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(size=(7, 6021)), jnp.float32)
+    for k in (1, 25, 50):
+        got = np.asarray(jax.jit(lambda a: _kth_largest(a, k))(x))[:, 0]
+        want = np.sort(np.asarray(x), axis=-1)[:, -k]
+        np.testing.assert_array_equal(got, want)

