@@ -107,23 +107,29 @@ def main():
         cross_cache = tile_for_beams(cross_cache, BEAM)
         enc_m = tile_for_beams(enc_m.astype(jnp.int32), BEAM)
 
-        from vilmedic_tpu.blocks.transformer import make_blocked_head_weights
+        from vilmedic_tpu.blocks.transformer import (
+            make_blocked_head_weights,
+            to_kernel_cache,
+        )
 
+        # reorder-free beam decode: fused Pallas ancestry attention +
+        # in-place cache write (280 -> 310 reports/s vs the one-hot permute)
+        self_cache = to_kernel_cache(self_cache)
         blocked = make_blocked_head_weights(
             variables["params"]["dec"], module.dec_config.dtype
         )
 
-        def step_fn(tokens, self_cache, index):
+        def step_fn(tokens, self_cache, index, anc=None):
             logits, new_self = module.apply(
                 variables, tokens, self_cache, cross_cache, enc_m, index,
-                blocked_head=blocked,
+                blocked_head=blocked, ancestry=anc,
                 method=type(module).decode_step,
             )
             return logits, new_self
 
         return beam_search(
             step_fn, self_cache, BATCH, BEAM, MAX_LEN, bos_id=0, eos_id=2, pad_id=1,
-            length_penalty=1.0, blocked_vocab=VOCAB,
+            length_penalty=1.0, blocked_vocab=VOCAB, ancestry=True,
         ).sequences
 
     # compile + warmup. NOTE: on the axon tunnel backend block_until_ready does

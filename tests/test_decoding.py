@@ -225,6 +225,65 @@ def test_blocked_beam_search_matches_plain():
     np.testing.assert_array_equal(np.asarray(r1.scores), np.asarray(r2.scores))
 
 
+def test_ancestry_beam_search_matches_permute():
+    """Reorder-free (ancestry) beam decode must reproduce the cache-permute
+    path exactly: same sequences AND same scores, blocked and unblocked, on a
+    real multi-layer decoder (the masked joint (slot, t) softmax is
+    value-preserving, decode.py beam_search(ancestry=True))."""
+    from vilmedic_tpu.blocks.transformer import (
+        TransformerConfig,
+        TransformerDecoder,
+        make_blocked_head_weights,
+    )
+    from vilmedic_tpu.decoding import tile_for_beams
+
+    vocab = 4608  # >= 4096: exercises the blocked candidate selection
+    cfg = TransformerConfig(
+        vocab_size=vocab, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=128,
+        max_position_embeddings=64, add_cross_attention=True,
+        dtype=jnp.float32,
+    )
+    dec = TransformerDecoder(cfg)
+    b, k, s, max_len = 3, 4, 7, 16
+    rng = np.random.default_rng(0)
+    enc_h = jnp.asarray(rng.normal(size=(b, s, 64)), jnp.float32)
+    vs = dec.init(jax.random.key(0), input_ids=jnp.zeros((1, 4), jnp.int32),
+                  encoder_hidden_states=jnp.zeros((1, s, 64)))
+    self_c, cross_c = dec.apply(vs, encoder_hidden_states=enc_h,
+                                mode="init_cache", max_len=max_len)
+    self_c = tile_for_beams(self_c, k)
+    cross_c = tile_for_beams(cross_c, k)
+    enc_m = jnp.ones((b * k, s), jnp.int32)
+    blocked = make_blocked_head_weights(vs["params"], cfg.dtype)
+
+    def mk_step(use_blocked):
+        def step_fn(tokens, sc, index, anc=None):
+            kw = dict(mode="decode", decode_index=index,
+                      encoder_attention_mask=enc_m)
+            if use_blocked:
+                kw["blocked_head"] = blocked
+            if anc is not None:
+                kw["ancestry"] = anc
+            logits, new_self = dec.apply(vs, tokens, cache=(sc, cross_c), **kw)
+            return (logits if use_blocked else logits[:, -1]), new_self
+        return step_fn
+
+    for use_blocked in (False, True):
+        bv = vocab if use_blocked else None
+        r0 = beam_search(mk_step(use_blocked), self_c, b, k, max_len,
+                         0, 2, 1, length_penalty=1.0, blocked_vocab=bv)
+        r1 = beam_search(mk_step(use_blocked), self_c, b, k, max_len,
+                         0, 2, 1, length_penalty=1.0, blocked_vocab=bv,
+                         ancestry=True)
+        np.testing.assert_array_equal(
+            np.asarray(r0.sequences), np.asarray(r1.sequences)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(r0.scores), np.asarray(r1.scores)
+        )
+
+
 def test_blocked_head_logit_parity():
     """TransformerDecoder._head_blocked == _head on the real vocab columns,
     with padded lanes below any real logit (cpu: bit-exact; the TPU-side

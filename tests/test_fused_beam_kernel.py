@@ -1,0 +1,128 @@
+"""Fused reorder-free beam-decode kernel (ops/beam_cache_attention.py).
+
+Interpret-mode (CPU) checks: the kernel against a per-sample numpy oracle,
+and the full Pallas beam-search path against the cache-permute path on a real
+multi-layer decoder (reference semantics anchor: HF ``_reorder_cache``,
+beam_search.py:312-319 — here the reorder is folded into the attention reads).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vilmedic_tpu.ops.beam_cache_attention import (
+    NEG_INF,
+    fused_beam_cache_attention,
+    make_ancestry_bias,
+)
+
+
+def test_kernel_matches_numpy_oracle():
+    B, K, T, H, D = 4, 4, 10, 4, 32
+    N = B * K
+    rng = np.random.default_rng(0)
+    idx = 6
+
+    kc = rng.normal(size=(T, N, H * D)).astype(np.float32)
+    vc = rng.normal(size=(T, N, H * D)).astype(np.float32)
+    q = rng.normal(size=(N, H, D)).astype(np.float32)
+    k_new = rng.normal(size=(N, H, D)).astype(np.float32)
+    v_new = rng.normal(size=(N, H, D)).astype(np.float32)
+
+    anc_idx = rng.integers(0, K, (B, K, T))
+    anc = np.zeros((B, K, K, T), np.float32)  # (b, kj, kq, t)
+    for b in range(B):
+        for qq in range(K):
+            for t in range(idx):
+                anc[b, anc_idx[b, qq, t], qq, t] = 1.0
+
+    bias = make_ancestry_bias(jnp.asarray(anc), g=2)
+    out, kc2, vc2 = fused_beam_cache_attention(
+        jnp.asarray(kc), jnp.asarray(vc), jnp.asarray(q),
+        jnp.asarray(k_new), jnp.asarray(v_new), bias,
+        jnp.asarray(idx, jnp.int32), interpret=True,
+    )
+    out, kc2, vc2 = np.asarray(out), np.asarray(kc2), np.asarray(vc2)
+
+    scale = D ** -0.5
+    for b in range(B):
+        for qq in range(K):
+            n = b * K + qq
+            for h in range(H):
+                sel_k = np.stack(
+                    [kc[t, b * K + anc_idx[b, qq, t], h * D:(h + 1) * D]
+                     for t in range(idx)] + [k_new[n, h]], 0)
+                sel_v = np.stack(
+                    [vc[t, b * K + anc_idx[b, qq, t], h * D:(h + 1) * D]
+                     for t in range(idx)] + [v_new[n, h]], 0)
+                s = sel_k @ (q[n, h] * scale)
+                p = np.exp(s - s.max())
+                p /= p.sum()
+                np.testing.assert_allclose(
+                    out[n, h], p @ sel_v, rtol=1e-5, atol=1e-5
+                )
+
+    # in-place write: position idx updated, everything else untouched
+    exp_kc = kc.copy()
+    exp_vc = vc.copy()
+    exp_kc[idx] = k_new.reshape(N, H * D)
+    exp_vc[idx] = v_new.reshape(N, H * D)
+    np.testing.assert_array_equal(kc2, exp_kc)
+    np.testing.assert_array_equal(vc2, exp_vc)
+
+
+def test_pallas_beam_search_matches_permute():
+    """Full beam decode through the fused kernel == the cache-permute path."""
+    from vilmedic_tpu.blocks.transformer import (
+        TransformerConfig,
+        TransformerDecoder,
+        make_blocked_head_weights,
+        to_kernel_cache,
+    )
+    from vilmedic_tpu.decoding import beam_search, tile_for_beams
+
+    vocab = 4608
+    cfg = TransformerConfig(
+        vocab_size=vocab, hidden_size=128, num_hidden_layers=2,
+        num_attention_heads=2, intermediate_size=128,
+        max_position_embeddings=64, add_cross_attention=True,
+        dtype=jnp.float32,
+    )
+    dec = TransformerDecoder(cfg)
+    b, k, s, max_len = 3, 4, 7, 16
+    rng = np.random.default_rng(0)
+    enc_h = jnp.asarray(rng.normal(size=(b, s, 128)), jnp.float32)
+    vs = dec.init(jax.random.key(0), input_ids=jnp.zeros((1, 4), jnp.int32),
+                  encoder_hidden_states=jnp.zeros((1, s, 128)))
+    self_c, cross_c = dec.apply(vs, encoder_hidden_states=enc_h,
+                                mode="init_cache", max_len=max_len)
+    self_c = tile_for_beams(self_c, k)
+    cross_c = tile_for_beams(cross_c, k)
+    enc_m = jnp.ones((b * k, s), jnp.int32)
+    blocked = make_blocked_head_weights(vs["params"], cfg.dtype)
+
+    def mk_step(use_blocked):
+        def step_fn(tokens, sc, index, anc=None):
+            kw = dict(mode="decode", decode_index=index,
+                      encoder_attention_mask=enc_m)
+            if use_blocked:
+                kw["blocked_head"] = blocked
+            if anc is not None:
+                kw["ancestry"] = anc
+            logits, new_self = dec.apply(vs, tokens, cache=(sc, cross_c), **kw)
+            return (logits if use_blocked else logits[:, -1]), new_self
+        return step_fn
+
+    for use_blocked in (False, True):
+        bv = vocab if use_blocked else None
+        r0 = beam_search(mk_step(use_blocked), self_c, b, k, max_len,
+                         0, 2, 1, length_penalty=1.0, blocked_vocab=bv)
+        r1 = beam_search(mk_step(use_blocked), to_kernel_cache(self_c),
+                         b, k, max_len, 0, 2, 1, length_penalty=1.0,
+                         blocked_vocab=bv, ancestry=True)
+        np.testing.assert_array_equal(
+            np.asarray(r0.sequences), np.asarray(r1.sequences)
+        )
+        np.testing.assert_allclose(
+            np.asarray(r0.scores), np.asarray(r1.scores), rtol=2e-6, atol=2e-6
+        )

@@ -106,8 +106,9 @@ def test_encoder_matches_hf():
     np.testing.assert_allclose(np.asarray(out), hf_out, rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.parametrize("ancestry", [False, True])
 @pytest.mark.parametrize("length_penalty", [1.0, 2.0, 0.5])
-def test_beam_search_matches_hf_generate(length_penalty):
+def test_beam_search_matches_hf_generate(length_penalty, ancestry):
     """Converted model + our jitted beam search must reproduce HF ``generate``
     sequences (reference eval uses HF generate, evaluation.py:72-82; SURVEY.md
     hard part #1: match HF length-penalty/early-stop behavior)."""
@@ -157,16 +158,17 @@ def test_beam_search_matches_hf_generate(length_penalty):
     cross_tiled = tile_for_beams(cross_cache, beams)
     enc_m_tiled = tile_for_beams(enc_m, beams)
 
-    def step_fn(tokens, sc, index):
+    def step_fn(tokens, sc, index, anc=None):
         logits, new_self = dec.apply(
             {"params": params}, tokens, encoder_attention_mask=enc_m_tiled,
             mode="decode", cache=(sc, cross_tiled), decode_index=index,
+            ancestry=anc,
         )
         return logits[:, -1].astype(jnp.float32), new_self
 
     result = beam_search(
         step_fn, self_cache, b, beams, max_len, bos_id=0, eos_id=2, pad_id=1,
-        length_penalty=length_penalty,
+        length_penalty=length_penalty, ancestry=ancestry,
     )
     ours = np.asarray(result.sequences)
 

@@ -26,7 +26,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops.attention import dot_product_attention, make_attention_bias
+from ..ops.attention import NEG_INF, dot_product_attention, make_attention_bias
 
 Dtype = Any
 
@@ -104,6 +104,28 @@ def make_blocked_head_weights(dec_params, dtype, block: int = 128):
     return kb, bb
 
 
+def to_kernel_cache(self_cache):
+    """Convert a (tiled) self cache to the fused-kernel layout.
+
+    Renames per-layer ``self_k``/``self_v`` (N, T, H, D) leaves to
+    ``self_k_tnf``/``self_v_tnf`` in (T, N, H*D): the layout the Pallas
+    reorder-free beam kernel wants (per-(group, head-pair) slab DMAs with a
+    128-multiple lane dim, and a t-write on the untiled leading dim). The
+    self cache is zeros at this point, so the transpose constant-folds — no
+    data movement.
+    """
+    out = []
+    for layer in self_cache:
+        k = layer["self_k"]
+        n, t, h, d = k.shape
+        out.append({
+            "self_k_tnf": jnp.transpose(k, (1, 0, 2, 3)).reshape(t, n, h * d),
+            "self_v_tnf": jnp.transpose(layer["self_v"], (1, 0, 2, 3)).reshape(
+                t, n, h * d),
+        })
+    return tuple(out)
+
+
 def _dense(cfg: TransformerConfig, features: int, name: str) -> nn.Dense:
     return nn.Dense(
         features,
@@ -152,6 +174,7 @@ class MultiHeadAttention(nn.Module):
         bias: Optional[jnp.ndarray] = None,
         cache: Optional[Dict[str, jnp.ndarray]] = None,
         decode_index: Optional[jnp.ndarray] = None,
+        ancestry: Optional[jnp.ndarray] = None,
     ):
         q = self._split(self.q_proj(x))
         new_cache = None
@@ -163,6 +186,36 @@ class MultiHeadAttention(nn.Module):
         else:
             k_new = self._split(self.k_proj(x))
             v_new = self._split(self.v_proj(x))
+            if cache is not None and "k_tnf" in cache:
+                # fused Pallas path: reorder-free attention + in-place cache
+                # write in ONE kernel over the (T, N, H*D) caches
+                assert ancestry is not None and decode_index is not None
+                from ..ops.beam_cache_attention import (
+                    fused_beam_cache_attention,
+                    make_ancestry_bias,
+                )
+
+                cfg = self.config
+                n = k_new.shape[0]
+                b, kj, kq, _ = ancestry.shape
+                # items per group: biggest divisor with <= 64 rows (VMEM: the
+                # 16 MB scoped limit bounds slab + score buffers; 64 rows
+                # halves MXU row-fill but fits comfortably)
+                g = max(d for d in range(1, b + 1)
+                        if b % d == 0 and d * kq <= 64)
+                bias = make_ancestry_bias(ancestry, g)
+                out, kc2, vc2 = fused_beam_cache_attention(
+                    cache["k_tnf"], cache["v_tnf"],
+                    q.reshape(n, cfg.num_attention_heads, cfg.head_dim),
+                    k_new.reshape(n, cfg.num_attention_heads, cfg.head_dim),
+                    v_new.reshape(n, cfg.num_attention_heads, cfg.head_dim),
+                    bias,
+                    decode_index,
+                    interpret=jax.default_backend() == "cpu",
+                )
+                new_cache = {"k_tnf": kc2, "v_tnf": vc2}
+                out = out.astype(cfg.dtype).reshape(n, 1, cfg.hidden_size)
+                return self.o_proj(out), new_cache
             if cache is not None:
                 # Incremental decode: write this step's K/V at decode_index.
                 # (A (B, H, T, D) cache layout with matching einsums was tried
@@ -177,10 +230,78 @@ class MultiHeadAttention(nn.Module):
                     cache["v"], v_new.astype(cache["v"].dtype), (0, idx, 0, 0)
                 )
                 new_cache = {"k": k, "v": v}
+                if ancestry is not None:
+                    # read the PRE-update cache: the DUS result's only consumer
+                    # is then the loop carry — the canonical in-place-update
+                    # pattern (reading the DUS output here made XLA round-trip
+                    # the whole 39 MB cache through alternate memory every
+                    # step: ~160 us/leaf/step on v5e)
+                    out = self._ancestry_attention(
+                        q, cache["k"], cache["v"], k_new, v_new, ancestry
+                    )
+                    return self.o_proj(self._merge(out)), new_cache
             else:
                 k, v = k_new, v_new
         out = dot_product_attention(q, k, v, bias=bias, dtype=self.config.dtype)
         return self.o_proj(self._merge(out)), new_cache
+
+    def _ancestry_attention(self, q, k_old, v_old, k_new, v_new, ancestry):
+        """Reorder-free beam decode self-attention.
+
+        ``ancestry`` is a (B, kj, kq, T) one-hot: the beam now living in slot
+        ``kq`` of batch item ``B`` took timestep ``t``'s K/V from slot ``kj``
+        (all-zero over kj at t >= decode_index — which also subsumes the
+        causal mask). Instead of physically permuting the (N, T, H, D) caches
+        every step (~330 us/step of pure HBM traffic + relayout copies at
+        beam 8, vocab-50k bench shapes on v5e), scores are computed against
+        ALL slots of the PRE-update cache in a slot-batched standard-attention
+        shape, non-ancestor (slot, t) lanes are masked to NEG_INF, and the
+        current step's self K/V (always the slot's own ``k_new``/``v_new``)
+        joins the softmax as one extra analytic lane — so the joint softmax
+        equals the permuted path's softmax over t exactly (masked lanes
+        underflow to exp -> 0, selected lanes get +0.0; value-preserving).
+        Functional analog of HF ``_reorder_cache`` with the reorder folded
+        into the attention reads. TPU note: the (slot, t) contraction
+        accumulates nonzero terms in a different tile order than the permuted
+        path, so bf16 runs can differ by 1 ulp on near-ties (f32 is
+        bit-exact — asserted in tests/test_decoding.py).
+        """
+        cfg = self.config
+        n, t, nh, d = k_old.shape
+        b, kj, kq, t2 = ancestry.shape
+        scale = d ** -0.5
+        qn = q * scale  # (N, 1, NH, D), bf16 scale as dot_product_attention
+        qs = jnp.broadcast_to(
+            qn.reshape(b, 1, kq, nh, d), (b, kj, kq, nh, d)
+        ).reshape(n, kq, nh, d)
+        scores = jnp.einsum(
+            "nqhd,nthd->nhqt", qs, k_old, preferred_element_type=jnp.float32
+        ).reshape(b, kj, nh, kq, t)
+        bias = jnp.where(ancestry > 0, 0.0, NEG_INF)  # (b, kj, kq, t) f32
+        scores = scores + bias[:, :, None]
+        # current step: slot q attends its own freshly projected K/V
+        s_cur = jnp.sum(
+            (qn * k_new).astype(jnp.float32), axis=-1
+        )  # (N, 1, NH)
+        s_cur = s_cur.reshape(b, kq, nh).transpose(0, 2, 1)  # (b, nh, kq)
+        # softmax jointly over (kj, t) + the current lane, no transposes of
+        # the big score tensor
+        m_past = jnp.max(scores, axis=(1, 4))  # (b, nh, kq)
+        m = jnp.maximum(m_past, s_cur)
+        unnorm = jnp.exp(scores - m[:, None, :, :, None])
+        un_cur = jnp.exp(s_cur - m)
+        denom = jnp.sum(unnorm, axis=(1, 4)) + un_cur  # (b, nh, kq)
+        weights = (unnorm / denom[:, None, :, :, None]).astype(cfg.dtype)
+        partial = jnp.einsum(
+            "nhqt,nthd->nqhd", weights.reshape(n, nh, kq, t), v_old,
+            preferred_element_type=jnp.float32,  # keep slot partials unrounded
+        )
+        out = jnp.sum(partial.reshape(b, kj, kq, nh, d), axis=1)
+        w_cur = (un_cur / denom).transpose(0, 2, 1).reshape(n, nh)  # (N, NH)
+        out = out.reshape(n, nh, d) + (
+            w_cur[..., None].astype(cfg.dtype) * v_new.reshape(n, nh, d)
+        ).astype(jnp.float32)
+        return out.astype(cfg.dtype).reshape(n, 1, nh, d)
 
 
 class FeedForward(nn.Module):
@@ -263,11 +384,13 @@ class DecoderLayer(nn.Module):
         self_cache=None,
         cross_cache=None,
         decode_index=None,
+        ancestry=None,
     ):
         # NOTE: callers pass every argument positionally — ``deterministic`` is
         # a remat static_argnum when gradient_checkpointing is on.
         attn, new_self_cache = self.self_attn(
-            x, bias=self_bias, cache=self_cache, decode_index=decode_index
+            x, bias=self_bias, cache=self_cache, decode_index=decode_index,
+            ancestry=ancestry,
         )
         x = self.self_ln(x + self.dropout(attn, deterministic=deterministic))
         cross, _ = self.cross_attn(
@@ -387,6 +510,7 @@ class TransformerDecoder(nn.Module):
         decode_index=None,
         max_len: Optional[int] = None,
         blocked_head=None,  # (padded kernel, padded bias) — make_blocked_head_weights
+        ancestry=None,  # (B, kq, T, kj) one-hot — reorder-free beam decode
     ):
         cfg = self.config
 
@@ -415,24 +539,38 @@ class TransformerDecoder(nn.Module):
             self_cache_in, cross_cache = cache
             positions = jnp.full((1, 1), 0, jnp.int32) + decode_index
             h = self.embeddings(input_ids, positions, deterministic=True)
-            max_len = self_cache_in[0]["self_k"].shape[1]
+            kernel_cache = "self_k_tnf" in self_cache_in[0]
+            if kernel_cache:
+                max_len = self_cache_in[0]["self_k_tnf"].shape[0]
+            else:
+                max_len = self_cache_in[0]["self_k"].shape[1]
             self_bias = make_attention_bias(
                 causal=True, key_len=max_len, decode_index=decode_index
             )
             cross_bias = make_attention_bias(key_mask=encoder_attention_mask)
             new_cache = []
             for layer, self_lc, cross_lc in zip(self.layers, self_cache_in, cross_cache):
+                if kernel_cache:
+                    self_in = {"k_tnf": self_lc["self_k_tnf"],
+                               "v_tnf": self_lc["self_v_tnf"]}
+                else:
+                    self_in = {"k": self_lc["self_k"], "v": self_lc["self_v"]}
                 h, new_self = layer(
                     h,
                     None,
                     self_bias,
                     cross_bias,
                     True,
-                    {"k": self_lc["self_k"], "v": self_lc["self_v"]},
+                    self_in,
                     {"k": cross_lc["cross_k"], "v": cross_lc["cross_v"]},
                     decode_index,
+                    ancestry,
                 )
-                new_cache.append({"self_k": new_self["k"], "self_v": new_self["v"]})
+                if kernel_cache:
+                    new_cache.append({"self_k_tnf": new_self["k_tnf"],
+                                      "self_v_tnf": new_self["v_tnf"]})
+                else:
+                    new_cache.append({"self_k": new_self["k"], "self_v": new_self["v"]})
             if blocked_head is not None and blocked_head != 0:
                 # (N, nb, block) f32 — consumed by beam_search(blocked_vocab=V)
                 logits = self._head_blocked(h[:, -1], blocked_head)

@@ -81,6 +81,35 @@ def make_generate_fn(models, beam_width, max_len, bos_id, eos_id, pad_id, length
     ):
         use_blocked_vocab = next(iter(vocab_sizes))
 
+    # Reorder-free beam decode (ancestry folded into self-attention) — removes
+    # the per-step full-cache one-hot permute from the decode loop. Default
+    # ("pallas") fuses attention + in-place cache write in one Pallas kernel
+    # over (T, N, H*D) caches (ops/beam_cache_attention.py): 280 -> 310
+    # reports/s/chip on the v5e bench. VILMEDIC_ANCESTRY_DECODE=xla selects
+    # the pure-XLA ancestry formulation (exact but SLOWER than the permute
+    # path on TPU: XLA's T-minor carry layout turns the one-slab cache write
+    # into a full-buffer rewrite, 122 reports/s); =0 restores the permute.
+    import os
+
+    ancestry_impl = os.environ.get("VILMEDIC_ANCESTRY_DECODE", "pallas")
+    models_support_ancestry = all(
+        "ancestry" in inspect.signature(type(m.module).decode_step).parameters
+        for m in models
+    )
+    kernel_ok = all(
+        getattr(m, "dec_config", None) is not None
+        and (m.dec_config.hidden_size % 128 == 0)
+        and (128 % m.dec_config.head_dim == 0)
+        for m in models
+    )
+    use_ancestry = (
+        bool(beam_width and beam_width > 1)
+        and models_support_ancestry
+        and (ancestry_impl == "1" or ancestry_impl == "xla"
+             or (ancestry_impl == "pallas" and kernel_ok))
+    )
+    use_kernel_cache = use_ancestry and ancestry_impl == "pallas" and kernel_ok
+
     def generate(variables_list, enc_inputs):
         batch_size = jax.tree.leaves(enc_inputs)[0].shape[0]
         tiling = beam_width if beam_width and beam_width > 1 else 1
@@ -95,6 +124,10 @@ def make_generate_fn(models, beam_width, max_len, bos_id, eos_id, pad_id, length
                 self_cache = tile_for_beams(self_cache, tiling)
                 cross_cache = tile_for_beams(cross_cache, tiling)
                 enc_m = tile_for_beams(enc_m, tiling)
+            if use_kernel_cache:
+                from ..blocks.transformer import to_kernel_cache
+
+                self_cache = to_kernel_cache(self_cache)
             self_caches.append(_pvary(self_cache))
             # cross K/V and encoder mask are beam-invariant: closed over, never
             # gathered in the decode loop (reference reorders every cache,
@@ -117,22 +150,24 @@ def make_generate_fn(models, beam_width, max_len, bos_id, eos_id, pad_id, length
                 blocked_list = [None] * len(modules)
                 blocked_vocab = None
 
-        def step_fn(tokens, self_caches, index):
+        def step_fn(tokens, self_caches, index, anc=None):
             logits_sum = 0.0
             new_states = []
             for module, variables, self_cache, (cross_cache, enc_m), blocked in zip(
                 modules, variables_list, self_caches, invariants, blocked_list
             ):
+                extra = {} if anc is None else {"ancestry": anc}
                 if blocked is not None:
                     logits, new_self = module.apply(
                         variables, tokens, self_cache, cross_cache, enc_m, index,
-                        blocked_head=blocked,
+                        blocked_head=blocked, **extra,
                         method=type(module).decode_step,
                     )
                     step_logits = logits  # (N, nb, 128) f32 blocks
                 else:
                     logits, new_self = module.apply(
                         variables, tokens, self_cache, cross_cache, enc_m, index,
+                        **extra,
                         method=type(module).decode_step,
                     )
                     step_logits = logits[:, -1]
@@ -147,6 +182,7 @@ def make_generate_fn(models, beam_width, max_len, bos_id, eos_id, pad_id, length
                 step_fn, self_caches, batch_size, beam_width, max_len,
                 bos_id, eos_id, pad_id, length_penalty=length_penalty,
                 vary_axes=vary_axes, blocked_vocab=blocked_vocab,
+                ancestry=use_ancestry,
             )
             return result.sequences
         return greedy_search(

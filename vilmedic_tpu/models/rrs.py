@@ -60,7 +60,7 @@ class RRSModule(nn.Module):
         )
 
     def decode_step(self, tokens, self_cache, cross_cache, enc_mask, index,
-                    blocked_head=None):
+                    blocked_head=None, ancestry=None):
         return self.dec(
             tokens,
             encoder_attention_mask=enc_mask,
@@ -68,6 +68,7 @@ class RRSModule(nn.Module):
             cache=(self_cache, cross_cache),
             decode_index=index,
             blocked_head=blocked_head,
+            ancestry=ancestry,
         )
 
 
