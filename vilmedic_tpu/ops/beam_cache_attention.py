@@ -134,29 +134,40 @@ def _kernel(idx_ref, kc_hbm, vc_hbm, q_ref, knew_ref, vnew_ref, bias_ref,
         vh = vbuf[slot].reshape(t * rows, LANE)
         bias = bias_ref[gi].astype(jnp.float32)
 
-        out_pair = None
-        for hi in range(hpb):
-            mask = (lane_iota >= hi * d) & (lane_iota < (hi + 1) * d)
-            qz = jnp.where(mask, q2, 0.0)  # other head's lanes zeroed
-            s = lax.dot_general(
-                qz.astype(kh.dtype), kh, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (rows, t*rows) — exact per-head: zero lanes add exact zeros
-            s = s + bias
-            s_cur = jnp.sum(qz * kn2, axis=-1, keepdims=True)
-            m = jnp.maximum(jnp.max(s, axis=-1, keepdims=True), s_cur)
-            p = jnp.exp(s - m)
-            p_cur = jnp.exp(s_cur - m)
-            l = jnp.sum(p, axis=-1, keepdims=True) + p_cur
-            w = (p / l).astype(vh.dtype)
-            oh = lax.dot_general(
-                w, vh, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (rows, LANE): only this head's lanes are kept below
-            oh = oh + (p_cur / l) * vn2
-            # keep only this head's lanes; other heads' lanes of oh are the
-            # (unwanted) application of this head's weights to their values
-            out_pair = oh if out_pair is None else jnp.where(mask, oh, out_pair)
+        # Both heads of the pair ride ONE matmul as extra rows: lane-masked
+        # queries keep per-head contractions exact (the other head's lanes
+        # contribute exact zeros), and hpb*rows rows fill the MXU tile.
+        masks = [
+            (lane_iota >= hi * d) & (lane_iota < (hi + 1) * d)
+            for hi in range(hpb)
+        ]
+        q_all = jnp.concatenate(
+            [jnp.where(m_, q2, 0.0) for m_ in masks], axis=0
+        )  # (hpb*rows, LANE)
+        s = lax.dot_general(
+            q_all.astype(kh.dtype), kh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (hpb*rows, t*rows)
+        s = s + jnp.concatenate([bias] * hpb, axis=0)
+        kn_all = jnp.concatenate([kn2] * hpb, axis=0)
+        s_cur = jnp.sum(q_all * kn_all, axis=-1, keepdims=True)
+        m = jnp.maximum(jnp.max(s, axis=-1, keepdims=True), s_cur)
+        p = jnp.exp(s - m)
+        p_cur = jnp.exp(s_cur - m)
+        l = jnp.sum(p, axis=-1, keepdims=True) + p_cur
+        w = (p / l).astype(vh.dtype)
+        oh = lax.dot_general(
+            w, vh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (hpb*rows, LANE)
+        vn_all = jnp.concatenate([vn2] * hpb, axis=0)
+        oh = oh + (p_cur / l) * vn_all
+        # row block hi holds head hi's outputs — keep only its lanes
+        out_pair = oh[(hpb - 1) * rows:hpb * rows]
+        for hi in range(hpb - 1):
+            out_pair = jnp.where(
+                masks[hi], oh[hi * rows:(hi + 1) * rows], out_pair
+            )
         o_ref[r0:r0 + rows, c0:c0 + LANE] = out_pair.astype(o_ref.dtype)
 
     pltpu.make_async_copy(knew_ref, kc_out.at[idx], store_sems.at[0]).wait()
