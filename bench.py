@@ -127,9 +127,12 @@ def main():
             )
             return logits, new_self
 
+        anc_g = max(d for d in range(1, BATCH + 1)
+                    if BATCH % d == 0 and d * BEAM <= 64)
         return beam_search(
             step_fn, self_cache, BATCH, BEAM, MAX_LEN, bos_id=0, eos_id=2, pad_id=1,
             length_penalty=1.0, blocked_vocab=VOCAB, ancestry=True,
+            ancestry_group_items=anc_g,
         ).sequences
 
     # compile + warmup. NOTE: on the axon tunnel backend block_until_ready does

@@ -13,7 +13,7 @@ import numpy as np
 from vilmedic_tpu.ops.beam_cache_attention import (
     NEG_INF,
     fused_beam_cache_attention,
-    make_ancestry_bias,
+    make_ancestry_mask,
 )
 
 
@@ -36,7 +36,7 @@ def test_kernel_matches_numpy_oracle():
             for t in range(idx):
                 anc[b, anc_idx[b, qq, t], qq, t] = 1.0
 
-    bias = make_ancestry_bias(jnp.asarray(anc), g=2)
+    bias = make_ancestry_mask(jnp.asarray(anc), g=2)
     out, kc2, vc2 = fused_beam_cache_attention(
         jnp.asarray(kc), jnp.asarray(vc), jnp.asarray(q),
         jnp.asarray(k_new), jnp.asarray(v_new), bias,
@@ -119,7 +119,8 @@ def test_pallas_beam_search_matches_permute():
                          0, 2, 1, length_penalty=1.0, blocked_vocab=bv)
         r1 = beam_search(mk_step(use_blocked), to_kernel_cache(self_c),
                          b, k, max_len, 0, 2, 1, length_penalty=1.0,
-                         blocked_vocab=bv, ancestry=True)
+                         blocked_vocab=bv, ancestry=True,
+                         ancestry_group_items=1)
         np.testing.assert_array_equal(
             np.asarray(r0.sequences), np.asarray(r1.sequences)
         )

@@ -188,28 +188,25 @@ class MultiHeadAttention(nn.Module):
             v_new = self._split(self.v_proj(x))
             if cache is not None and "k_tnf" in cache:
                 # fused Pallas path: reorder-free attention + in-place cache
-                # write in ONE kernel over the (T, N, H*D) caches
-                assert ancestry is not None and decode_index is not None
+                # write in ONE kernel over the (T, N, H*D) caches. ``ancestry``
+                # arrives as the kernel's dense flat (groups, rows, T*rows)
+                # 0/1 mask — carried in that form by beam_search
+                # (ancestry_group_items), so there is NO per-step mask
+                # construction at the XLA level.
+                assert ancestry is not None and ancestry.ndim == 3
+                assert decode_index is not None
                 from ..ops.beam_cache_attention import (
                     fused_beam_cache_attention,
-                    make_ancestry_bias,
                 )
 
                 cfg = self.config
                 n = k_new.shape[0]
-                b, kj, kq, _ = ancestry.shape
-                # items per group: biggest divisor with <= 64 rows (VMEM: the
-                # 16 MB scoped limit bounds slab + score buffers; 64 rows
-                # halves MXU row-fill but fits comfortably)
-                g = max(d for d in range(1, b + 1)
-                        if b % d == 0 and d * kq <= 64)
-                bias = make_ancestry_bias(ancestry, g)
                 out, kc2, vc2 = fused_beam_cache_attention(
                     cache["k_tnf"], cache["v_tnf"],
                     q.reshape(n, cfg.num_attention_heads, cfg.head_dim),
                     k_new.reshape(n, cfg.num_attention_heads, cfg.head_dim),
                     v_new.reshape(n, cfg.num_attention_heads, cfg.head_dim),
-                    bias,
+                    ancestry,
                     decode_index,
                     interpret=jax.default_backend() == "cpu",
                 )

@@ -532,6 +532,7 @@ def beam_search(
     vary_axes: Tuple[str, ...] = (),
     blocked_vocab: Optional[int] = None,
     ancestry: bool = False,
+    ancestry_group_items: Optional[int] = None,
 ) -> BeamResult:
     """HF-semantics beam search over pre-tiled caches (leading dim B*k).
 
@@ -541,13 +542,23 @@ def beam_search(
     blocks directly, skipping its per-step pad+reshape of the logits tensor.
 
     With ``ancestry=True``, the KV caches are NEVER permuted: the loop carries
-    a (B, kj, kq, max_len) one-hot ancestry map (slot q's timestep-t K/V lives
-    in slot ``argmax anc[b,:,q,t]``), composed by a tiny within-batch gather
-    each step, and ``step_fn(tokens, caches, index, anc)`` must fold it into
-    self-attention (MultiHeadAttention._ancestry_attention). This removes the
-    full-cache one-hot permute + relayout copies from the loop (~330 us/step at
-    beam 8, 50k vocab, 1-layer decoder on v5e — measured 280 -> ~390 reports/s
-    upper bound with the permute deleted outright).
+    a one-hot ancestry map (slot q's timestep-t K/V lives in the slot its
+    one-hot points to), composed by a tiny within-batch gather each step, and
+    ``step_fn(tokens, caches, index, anc)`` must fold it into self-attention.
+    This removes the full-cache one-hot permute + relayout copies from the
+    loop (~330 us/step at beam 8, 50k vocab, 1-layer decoder on v5e —
+    measured 280 -> ~390 reports/s upper bound with the permute deleted
+    outright). Two carriers:
+
+    - ``ancestry_group_items=g`` (the fused Pallas path): the map is carried
+      DIRECTLY in the kernel's dense mask form (B//g, g*k, max_len*g*k) —
+      lane block t holds the group-local slot one-hot for timestep t. The
+      per-step updates are one eye-block dynamic_update_slice and one small
+      batched one-hot matmul; no per-step mask construction exists at the
+      XLA level at all (a (b,k,k,T)-carried map needed a 6-D broadcast +
+      reshape through 16x-lane-padded tiles to densify: ~60 us/step).
+    - otherwise (pure-XLA path): a (B, kj, kq, max_len) one-hot consumed by
+      MultiHeadAttention._ancestry_attention.
     """
     k = beam_size
     b = batch_size
@@ -559,11 +570,24 @@ def beam_search(
     )
     fin_seqs = jnp.full((b, k, max_len), pad_id, jnp.int32)
     fin_scores = jnp.full((b, k), NEG_INF, jnp.float32)
-    anc0 = jnp.zeros((b, k, k, max_len), jnp.bfloat16) if ancestry else jnp.zeros((), jnp.bfloat16)
+    g = ancestry_group_items
+    if ancestry and g:
+        rows = g * k
+        groups = b // g
+        assert groups * g == b, (b, g)
+        anc0 = jnp.zeros((groups, rows, max_len * rows), jnp.bfloat16)
+        eye_k = jnp.broadcast_to(
+            jnp.eye(rows, dtype=jnp.bfloat16)[None], (groups, rows, rows)
+        )
+    elif ancestry:
+        anc0 = jnp.zeros((b, k, k, max_len), jnp.bfloat16)
+        eye_k = jnp.eye(k, dtype=jnp.bfloat16)[None, :, :, None]
+    else:
+        anc0 = jnp.zeros((), jnp.bfloat16)
+        eye_k = None
     seqs, alive_logp, fin_seqs, fin_scores, anc0 = _pvary(
         (seqs, alive_logp, fin_seqs, fin_scores, anc0), vary_axes
     )
-    eye_k = jnp.eye(k, dtype=jnp.bfloat16)[None, :, :, None] if ancestry else None
 
     def norm(i_len):
         return jnp.asarray(i_len, jnp.float32) ** length_penalty
@@ -589,9 +613,13 @@ def beam_search(
             logits, new_caches = step_fn(tokens, caches, i, anc)
             # slot q's position-i K/V is its own (written into the cache this
             # step) — recorded AFTER the step so next step's reads see it
-            anc = lax.dynamic_update_slice(
-                anc, jnp.broadcast_to(eye_k, (b, k, k, 1)), (0, 0, 0, i)
-            )
+            if g:
+                rows = g * k
+                anc = lax.dynamic_update_slice(anc, eye_k, (0, 0, i * rows))
+            else:
+                anc = lax.dynamic_update_slice(
+                    anc, jnp.broadcast_to(eye_k, (b, k, k, 1)), (0, 0, 0, i)
+                )
         else:
             logits, new_caches = step_fn(tokens, caches, i)
         if blocked_vocab is not None:
@@ -661,10 +689,19 @@ def beam_search(
             new_seqs, new_token[:, :, None].astype(jnp.int32), (0, 0, i + 1)
         )
 
-        if ancestry:
-            # compose: new slot q inherits slot new_beam[q]'s full history —
-            # a (B, kj, kq, T) gather (~100 KB) instead of the (N, T, H, D)
-            # cache permute (~78 MB read+write per K/V leaf)
+        if ancestry and g:
+            # compose: new slot rq inherits slot (item, new_beam[q])'s row —
+            # one (groups, rows, rows) one-hot batched matmul over the small
+            # flat map instead of the (N, T, H, D) cache permute
+            rows = g * k
+            nb_g = new_beam.reshape(b // g, g, k)
+            src = (jnp.arange(g, dtype=new_beam.dtype)[None, :, None] * k
+                   + nb_g).reshape(b // g, rows)
+            oh = jax.nn.one_hot(src, rows, dtype=anc.dtype)
+            anc = jnp.einsum("xrs,xsc->xrc", oh, anc,
+                             preferred_element_type=anc.dtype)
+        elif ancestry:
+            # (B, kj, kq, T) gather (~100 KB) instead of the cache permute
             anc = jnp.take_along_axis(anc, new_beam[:, None, :, None], axis=2)
         else:
             new_caches = _gather_beams(new_caches, new_beam, b, k,

@@ -178,11 +178,17 @@ def make_generate_fn(models, beam_width, max_len, bos_id, eos_id, pad_id, length
             return logits_sum, new_states
 
         if tiling > 1:
+            anc_g = None
+            if use_kernel_cache:
+                # items per kernel group: biggest divisor with <= 64 rows
+                # (VMEM: the 16 MB scoped limit bounds slab + score buffers)
+                anc_g = max(d for d in range(1, batch_size + 1)
+                            if batch_size % d == 0 and d * beam_width <= 64)
             result = beam_search(
                 step_fn, self_caches, batch_size, beam_width, max_len,
                 bos_id, eos_id, pad_id, length_penalty=length_penalty,
                 vary_axes=vary_axes, blocked_vocab=blocked_vocab,
-                ancestry=use_ancestry,
+                ancestry=use_ancestry, ancestry_group_items=anc_g,
             )
             return result.sequences
         return greedy_search(

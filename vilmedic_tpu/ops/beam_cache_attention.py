@@ -59,30 +59,29 @@ NEG_INF = -1e9
 LANE = 128
 
 
-def make_ancestry_bias(ancestry, g: int):
-    """(B, kj, kq, T) one-hot ancestry -> (groups, g*k, T*g*k) dense f32 bias.
+def make_ancestry_mask(ancestry, g: int):
+    """(B, kj, kq, T) one-hot ancestry -> (groups, g*k, T*g*k) flat 0/1 mask.
 
     Lane order is t-major / slot-minor, matching the kernel's flattening of a
-    (T, rows, lanes) slab into (T*rows, lanes) keys.
+    (T, rows, lanes) slab into (T*rows, lanes) keys. This densification is
+    for TESTS only: the production decode loop (beam_search with
+    ``ancestry_group_items``) carries the flat mask directly and never builds
+    the (B, kj, kq, T) form — the conversion costs ~60 us/step at bench
+    shapes (a 6-D broadcast + reshape through 16x-lane-padded tiles).
     """
     b, kj, kq, t = ancestry.shape
     k = kq
     groups = b // g
-    small = jnp.where(ancestry > 0, 0.0, NEG_INF)  # (b, kj, kq, t) f32
-    small = jnp.transpose(small, (0, 2, 3, 1)).reshape(groups, g, kq, t, kj)
-    eye = jnp.eye(g, dtype=jnp.float32)[:, None, None, :, None]
-    dense = jnp.where(
-        eye > 0, small[:, :, :, :, None, :], jnp.float32(NEG_INF)
-    )  # (groups, g_q, kq, T, g_j, kj)
-    # bf16: the dense bias is only ever 0 / -1e9, and VMEM is the scarce
-    # resource (16 MB scoped limit on v5e)
+    small = jnp.transpose(ancestry, (0, 2, 3, 1)).reshape(groups, g, kq, t, kj)
+    eye = jnp.eye(g, dtype=small.dtype)[:, None, None, :, None]
+    dense = jnp.where(eye > 0, small[:, :, :, :, None, :], 0)
     return dense.reshape(groups, g * k, t * g * k).astype(jnp.bfloat16)
 
 
 def _kernel(idx_ref, kc_hbm, vc_hbm, q_ref, knew_ref, vnew_ref, bias_ref,
             kc_out, vc_out, o_ref,
-            kbuf, vbuf, load_sems, store_sems,
-            *, groups: int, rows: int, t: int, d: int, hd: int):
+            kbuf, vbuf, m_ref, l_ref, acc_ref, load_sems, store_sems,
+            *, groups: int, rows: int, t: int, d: int, hd: int, tchunk: int):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -90,6 +89,11 @@ def _kernel(idx_ref, kc_hbm, vc_hbm, q_ref, knew_ref, vnew_ref, bias_ref,
     scale = d ** -0.5
     hpb = LANE // d  # heads per 128-lane block
     n_blocks = hd // LANE
+    n_chunks = t // tchunk
+    # chunks at or beyond the decode index hold no live keys: their DMAs,
+    # score matmuls, and softmax passes are all skipped (pl.when) — on
+    # average half the cache is dead during a decode
+    n_live = (idx + tchunk - 1) // tchunk
 
     # ---- in-place cache writes (start first; this step's lane is analytic,
     # so nothing below reads position idx) --------------------------------
@@ -100,39 +104,49 @@ def _kernel(idx_ref, kc_hbm, vc_hbm, q_ref, knew_ref, vnew_ref, bias_ref,
 
     steps = [(gi, hp) for gi in range(groups) for hp in range(n_blocks)]
 
-    def _copies(it, slot):
+    def _chunk_copies(it, tc, slot):
         gi, hp = steps[it]
-        r0, c0 = gi * rows, hp * LANE
+        r0, c0, t0 = gi * rows, hp * LANE, tc * tchunk
         return (
             pltpu.make_async_copy(
-                kc_hbm.at[:, r0:r0 + rows, c0:c0 + LANE], kbuf.at[slot],
-                load_sems.at[slot, 0],
+                kc_hbm.at[t0:t0 + tchunk, r0:r0 + rows, c0:c0 + LANE],
+                kbuf.at[slot, t0:t0 + tchunk], load_sems.at[slot, 0],
             ),
             pltpu.make_async_copy(
-                vc_hbm.at[:, r0:r0 + rows, c0:c0 + LANE], vbuf.at[slot],
-                load_sems.at[slot, 1],
+                vc_hbm.at[t0:t0 + tchunk, r0:r0 + rows, c0:c0 + LANE],
+                vbuf.at[slot, t0:t0 + tchunk], load_sems.at[slot, 1],
             ),
         )
 
-    for c in _copies(0, 0):
-        c.start()
+    def start_live(it, slot):
+        for tc in range(n_chunks):
+            @pl.when(tc < n_live)
+            def _(it=it, tc=tc, slot=slot):
+                for c in _chunk_copies(it, tc, slot):
+                    c.start()
+
+    def wait_live(it, slot):
+        for tc in range(n_chunks):
+            @pl.when(tc < n_live)
+            def _(it=it, tc=tc, slot=slot):
+                for c in _chunk_copies(it, tc, slot):
+                    c.wait()
+
+    start_live(0, 0)
     lane_iota = lax.broadcasted_iota(jnp.int32, (rows, LANE), 1)
+    rows2 = hpb * rows
+    ccols = tchunk * rows  # 128-multiple (asserted in the wrapper)
 
     for it, (gi, hp) in enumerate(steps):
         slot = it % 2
         if it + 1 < len(steps):
-            for c in _copies(it + 1, (it + 1) % 2):
-                c.start()
-        for c in _copies(it, slot):
-            c.wait()
+            start_live(it + 1, (it + 1) % 2)
+        wait_live(it, slot)
         r0, c0 = gi * rows, hp * LANE
 
         q2 = q_ref[r0:r0 + rows, c0:c0 + LANE].astype(jnp.float32) * scale
         kn2 = knew_ref[r0:r0 + rows, c0:c0 + LANE].astype(jnp.float32)
         vn2 = vnew_ref[r0:r0 + rows, c0:c0 + LANE].astype(jnp.float32)
-        kh = kbuf[slot].reshape(t * rows, LANE)
-        vh = vbuf[slot].reshape(t * rows, LANE)
-        bias = bias_ref[gi].astype(jnp.float32)
 
         # Both heads of the pair ride ONE matmul as extra rows: lane-masked
         # queries keep per-head contractions exact (the other head's lanes
@@ -143,27 +157,52 @@ def _kernel(idx_ref, kc_hbm, vc_hbm, q_ref, knew_ref, vnew_ref, bias_ref,
         ]
         q_all = jnp.concatenate(
             [jnp.where(m_, q2, 0.0) for m_ in masks], axis=0
-        )  # (hpb*rows, LANE)
-        s = lax.dot_general(
-            q_all.astype(kh.dtype), kh, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (hpb*rows, t*rows)
-        s = s + jnp.concatenate([bias] * hpb, axis=0)
+        )  # (rows2, LANE)
         kn_all = jnp.concatenate([kn2] * hpb, axis=0)
-        s_cur = jnp.sum(q_all * kn_all, axis=-1, keepdims=True)
-        m = jnp.maximum(jnp.max(s, axis=-1, keepdims=True), s_cur)
-        p = jnp.exp(s - m)
-        p_cur = jnp.exp(s_cur - m)
-        l = jnp.sum(p, axis=-1, keepdims=True) + p_cur
-        w = (p / l).astype(vh.dtype)
-        oh = lax.dot_general(
-            w, vh, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (hpb*rows, LANE)
         vn_all = jnp.concatenate([vn2] * hpb, axis=0)
-        oh = oh + (p_cur / l) * vn_all
+        s_cur = jnp.sum(q_all * kn_all, axis=-1, keepdims=True)
+
+        # online softmax over live chunks, seeded with the analytic
+        # current-step lane: m = s_cur, l = exp(0) = 1, acc = v_new
+        m_ref[:] = s_cur
+        l_ref[:] = jnp.ones((rows2, 1), jnp.float32)
+        acc_ref[:] = vn_all
+
+        q_dot = q_all.astype(kbuf.dtype)
+        for tc in range(n_chunks):
+            @pl.when(tc < n_live)
+            def _(tc=tc, slot=slot, gi=gi):
+                kc_chunk = kbuf[slot, tc * tchunk:(tc + 1) * tchunk].reshape(
+                    ccols, LANE
+                )
+                vc_chunk = vbuf[slot, tc * tchunk:(tc + 1) * tchunk].reshape(
+                    ccols, LANE
+                )
+                s = lax.dot_general(
+                    q_dot, kc_chunk, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (rows2, ccols)
+                # bias_ref is the 0/1 ancestry mask; kept lanes get exactly
+                # +0.0 ((1-1)*1e9), the rest NEG_INF — value-preserving
+                b_ = (bias_ref[gi, :, tc * ccols:(tc + 1) * ccols].astype(
+                    jnp.float32
+                ) - 1.0) * (-NEG_INF)
+                s = s + jnp.concatenate([b_] * hpb, axis=0)
+                m_old = m_ref[:]
+                m_new = jnp.maximum(m_old, jnp.max(s, axis=-1, keepdims=True))
+                alpha = jnp.exp(m_old - m_new)
+                p = jnp.exp(s - m_new)
+                l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+                acc_ref[:] = acc_ref[:] * alpha + lax.dot_general(
+                    p.astype(vc_chunk.dtype), vc_chunk,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                m_ref[:] = m_new
+
+        oh = acc_ref[:] / l_ref[:]
         # row block hi holds head hi's outputs — keep only its lanes
-        out_pair = oh[(hpb - 1) * rows:hpb * rows]
+        out_pair = oh[(hpb - 1) * rows:rows2]
         for hi in range(hpb - 1):
             out_pair = jnp.where(
                 masks[hi], oh[hi * rows:(hi + 1) * rows], out_pair
@@ -193,8 +232,15 @@ def fused_beam_cache_attention(kc, vc, q, k_new, v_new, bias, index,
     assert groups * rows == n and heads * d == hd
     assert LANE % d == 0 and hd % LANE == 0, (d, hd)
 
+    # t-chunk: ~5 chunks when the bias lane slices stay 128-aligned
+    # (tchunk * rows % 128 == 0); degenerates to one whole-slab chunk
+    cands = [c for c in range(1, t + 1)
+             if t % c == 0 and (c * rows) % LANE == 0]
+    target = max(1, t // 5)
+    tchunk = min(cands, key=lambda c: (abs(c - target), c)) if cands else t
+
     kernel = functools.partial(
-        _kernel, groups=groups, rows=rows, t=t, d=d, hd=hd,
+        _kernel, groups=groups, rows=rows, t=t, d=d, hd=hd, tchunk=tchunk,
     )
     out_shape = [
         jax.ShapeDtypeStruct(kc.shape, kc.dtype),
@@ -221,6 +267,9 @@ def fused_beam_cache_attention(kc, vc, q, k_new, v_new, bias, index,
         scratch_shapes=[
             pltpu.VMEM((2, t, rows, LANE), kc.dtype),  # kbuf
             pltpu.VMEM((2, t, rows, LANE), vc.dtype),  # vbuf
+            pltpu.VMEM((LANE // d * rows, 1), jnp.float32),  # m (online max)
+            pltpu.VMEM((LANE // d * rows, 1), jnp.float32),  # l (denominator)
+            pltpu.VMEM((LANE // d * rows, LANE), jnp.float32),  # acc
             pltpu.SemaphoreType.DMA((2, 2)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
