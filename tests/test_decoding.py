@@ -323,6 +323,63 @@ def test_blocked_head_logit_parity():
     assert lbf[:, 1000:].max() <= -1e29
 
 
+def test_kernel_shard_map_decode_matches_unsharded():
+    """The fused Pallas reorder-free decode under shard_map (the real
+    multi-device eval path: hidden % 128 == 0 routes evaluation_nlg through
+    the kernel cache) must match the unsharded kernel path and keep the loop
+    collective-free."""
+    import jax
+    from vilmedic_tpu.blocks.transformer import TransformerConfig
+    from vilmedic_tpu.models.evaluation_nlg import make_generate_fn
+    from vilmedic_tpu.models.rrs import RRSModule
+    from vilmedic_tpu.parallel.mesh import get_mesh
+
+    enc_cfg = TransformerConfig(
+        vocab_size=97, hidden_size=128, num_hidden_layers=1,
+        num_attention_heads=2, intermediate_size=64,
+        max_position_embeddings=32,
+    )
+    dec_cfg = TransformerConfig(
+        vocab_size=4500, hidden_size=128, num_hidden_layers=1,
+        num_attention_heads=2, intermediate_size=64,
+        max_position_embeddings=32, add_cross_attention=True,
+    )
+    module = RRSModule(enc_config=enc_cfg, dec_config=dec_cfg)
+    rng = np.random.default_rng(0)
+    b, t = 8, 6
+    ids = jnp.asarray(rng.integers(3, 97, (b, t)), jnp.int32)
+    mask = jnp.ones((b, t), jnp.int32)
+    dec_ids = jnp.asarray(rng.integers(3, 4500, (b, 5)), jnp.int32)
+    variables = module.init(
+        jax.random.key(0), ids, mask, dec_ids, jnp.ones((b, 5), jnp.int32)
+    )
+
+    class _Shim:
+        pass
+
+    m = _Shim()
+    m.module = module
+    m.dec_config = dec_cfg
+    enc_inputs = {"input_ids": ids, "attention_mask": mask}
+
+    plain = make_generate_fn(
+        [m], beam_width=3, max_len=7, bos_id=0, eos_id=1, pad_id=2,
+        length_penalty=1.0,
+    )
+    seq_plain = np.asarray(plain([variables], enc_inputs))
+
+    mesh = get_mesh(devices=jax.devices())
+    sharded = make_generate_fn(
+        [m], beam_width=3, max_len=7, bos_id=0, eos_id=1, pad_id=2,
+        length_penalty=1.0, mesh=mesh,
+    )
+    hlo = sharded.lower([variables], enc_inputs).compile().as_text()
+    for coll in ("all-gather", "all-reduce", "collective-permute", "all-to-all"):
+        assert coll not in hlo, f"decode HLO contains {coll}"
+    seq_sharded = np.asarray(sharded([variables], enc_inputs))
+    np.testing.assert_array_equal(seq_plain, seq_sharded)
+
+
 def test_blocked_shard_map_decode_matches_unsharded():
     """Large-vocab (blocked-LM-head) beam decode under shard_map: same
     sequences as the unsharded path, and the decode loop stays free of

@@ -202,12 +202,21 @@ def make_generate_fn(models, beam_width, max_len, bos_id, eos_id, pad_id, length
 
         from ..parallel.mesh import DATA_AXIS
 
+        kwargs = {}
+        if use_kernel_cache:
+            # interpret-mode discharge of the kernel's DMA primitives inside
+            # shard_map trips jax's vma matching (dynamic_slice on a varying
+            # buffer with unvarying scratch operands — jax hlo_interpreter
+            # limitation); numerics are still asserted sharded-vs-unsharded
+            # and the HLO is still asserted collective-free in tests
+            kwargs["check_vma"] = False
         return jax.jit(
             shard_map(
                 generate,
                 mesh=mesh,
                 in_specs=(P(), P(DATA_AXIS)),
                 out_specs=P(DATA_AXIS),
+                **kwargs,
             )
         )
     return jax.jit(generate)

@@ -242,10 +242,17 @@ def fused_beam_cache_attention(kc, vc, q, k_new, v_new, bias, index,
     kernel = functools.partial(
         _kernel, groups=groups, rows=rows, t=t, d=d, hd=hd, tchunk=tchunk,
     )
+    # under shard_map (the multi-device eval path) outputs must declare their
+    # varying mesh axes; inherit them from the cache operand
+    try:
+        vma = jax.core.get_aval(kc).vma
+        _sds = lambda shape, dtype: jax.ShapeDtypeStruct(shape, dtype, vma=vma)
+    except (AttributeError, TypeError):
+        _sds = jax.ShapeDtypeStruct
     out_shape = [
-        jax.ShapeDtypeStruct(kc.shape, kc.dtype),
-        jax.ShapeDtypeStruct(vc.shape, vc.dtype),
-        jax.ShapeDtypeStruct((n, hd), jnp.float32),
+        _sds(kc.shape, kc.dtype),
+        _sds(vc.shape, vc.dtype),
+        _sds((n, hd), jnp.float32),
     ]
     idx_arr = jnp.reshape(index, (1,)).astype(jnp.int32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
