@@ -71,6 +71,64 @@ def test_kernel_matches_numpy_oracle():
     np.testing.assert_array_equal(vc2, exp_vc)
 
 
+def test_ensemble_generate_kernel_matches_permute(monkeypatch):
+    """Two-member ensemble through make_generate_fn: the kernel-cache default
+    path must reproduce the permute path (logit-sum semantics preserved)."""
+    from vilmedic_tpu.blocks.transformer import TransformerConfig
+    from vilmedic_tpu.models import evaluation_nlg
+    from vilmedic_tpu.models.rrs import RRSModule
+
+    enc_cfg = TransformerConfig(
+        vocab_size=97, hidden_size=128, num_hidden_layers=1,
+        num_attention_heads=2, intermediate_size=64,
+        max_position_embeddings=32,
+    )
+    dec_cfg = TransformerConfig(
+        vocab_size=4500, hidden_size=128, num_hidden_layers=1,
+        num_attention_heads=2, intermediate_size=64,
+        max_position_embeddings=32, add_cross_attention=True,
+    )
+    rng = np.random.default_rng(0)
+    b, t = 4, 6
+    ids = jnp.asarray(rng.integers(3, 97, (b, t)), jnp.int32)
+    mask = jnp.ones((b, t), jnp.int32)
+    dec_ids = jnp.asarray(rng.integers(3, 4500, (b, 5)), jnp.int32)
+
+    models, variables_list = [], []
+    for seed in (0, 1):
+        module = RRSModule(enc_config=enc_cfg, dec_config=dec_cfg)
+        variables = module.init(
+            jax.random.key(seed), ids, mask, dec_ids,
+            jnp.ones((b, 5), jnp.int32),
+        )
+
+        class _Shim:
+            pass
+
+        m = _Shim()
+        m.module = module
+        m.dec_config = dec_cfg
+        models.append(m)
+        variables_list.append(variables)
+
+    enc_inputs = {"input_ids": ids, "attention_mask": mask}
+
+    monkeypatch.setenv("VILMEDIC_ANCESTRY_DECODE", "0")
+    plain = evaluation_nlg.make_generate_fn(
+        models, beam_width=3, max_len=7, bos_id=0, eos_id=1, pad_id=2,
+        length_penalty=1.0,
+    )
+    seq_plain = np.asarray(plain(variables_list, enc_inputs))
+
+    monkeypatch.setenv("VILMEDIC_ANCESTRY_DECODE", "pallas")
+    kern = evaluation_nlg.make_generate_fn(
+        models, beam_width=3, max_len=7, bos_id=0, eos_id=1, pad_id=2,
+        length_penalty=1.0,
+    )
+    seq_kern = np.asarray(kern(variables_list, enc_inputs))
+    np.testing.assert_array_equal(seq_plain, seq_kern)
+
+
 def test_pallas_beam_search_matches_permute():
     """Full beam decode through the fused kernel == the cache-permute path."""
     from vilmedic_tpu.blocks.transformer import (
