@@ -229,7 +229,10 @@ def gloria_attention(word, context, temp1, word_mask=None):
     """
     attn = jnp.einsum("bsd,btd->bst", context, word)  # (B, S, T)
     if word_mask is not None:
-        attn = jnp.where(word_mask[:, None, :] > 0, attn, -jnp.inf)
+        # large-finite (not -inf) so an all-masked caption degrades to a
+        # uniform softmax instead of propagating NaN into the loss; kept
+        # lanes still dominate masked ones (exp underflows to exact 0)
+        attn = jnp.where(word_mask[:, None, :] > 0, attn, -1e9)
     attn = jax.nn.softmax(attn, axis=-1)  # over words
     attn = jnp.swapaxes(attn, 1, 2)  # (B, T, S)
     attn = jax.nn.softmax(attn * temp1, axis=-1)  # over regions

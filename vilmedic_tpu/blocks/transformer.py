@@ -507,7 +507,7 @@ class TransformerDecoder(nn.Module):
         decode_index=None,
         max_len: Optional[int] = None,
         blocked_head=None,  # (padded kernel, padded bias) — make_blocked_head_weights
-        ancestry=None,  # (B, kq, T, kj) one-hot — reorder-free beam decode
+        ancestry=None,  # (B, kj, kq, T) one-hot (or the kernel's flat 3-D mask) — reorder-free beam decode
     ):
         cfg = self.config
 

@@ -36,7 +36,8 @@ def make_generate_fn(models, beam_width, max_len, bos_id, eos_id, pad_id, length
     With ``mesh``, the WHOLE encode+beam-decode runs under ``shard_map`` over the
     ``data`` axis: every shard beam-searches its own batch slice with its own
     shard-local KV caches and one-hot beam reorders, so the decode loop contains
-    **zero cross-device collectives** (asserted in tests/test_sharded_decode.py)
+    **zero cross-device collectives** (asserted in tests/test_decoding.py
+    ``test_sharded_decode_*`` and tests/test_rrs_e2e.py)
     — the SPMD analog of the reference's per-rank eval
     (validator_accelerate.py:112-162). Each shard's ``lax.while_loop`` even
     terminates independently on its own early-stop condition.
@@ -102,6 +103,10 @@ def make_generate_fn(models, beam_width, max_len, bos_id, eos_id, pad_id, length
         and (128 % m.dec_config.head_dim == 0)
         for m in models
     )
+    # the kernel groups g items * beam_width rows into <= 64-row slabs, so a
+    # beam wider than 64 has no valid group size — fall back to the permute
+    # path instead of tripping the group-size search at trace time
+    kernel_ok = kernel_ok and bool(beam_width) and beam_width <= 64
     use_ancestry = (
         bool(beam_width and beam_width > 1)
         and models_support_ancestry
@@ -203,12 +208,15 @@ def make_generate_fn(models, beam_width, max_len, bos_id, eos_id, pad_id, length
         from ..parallel.mesh import DATA_AXIS
 
         kwargs = {}
-        if use_kernel_cache:
-            # interpret-mode discharge of the kernel's DMA primitives inside
-            # shard_map trips jax's vma matching (dynamic_slice on a varying
-            # buffer with unvarying scratch operands — jax hlo_interpreter
-            # limitation); numerics are still asserted sharded-vs-unsharded
-            # and the HLO is still asserted collective-free in tests
+        if use_kernel_cache and jax.default_backend() == "cpu":
+            # INTERPRET-MODE ONLY workaround: discharge of the kernel's DMA
+            # primitives inside shard_map trips jax's vma matching
+            # (dynamic_slice on a varying buffer with unvarying scratch
+            # operands — jax hlo_interpreter limitation). On real TPU the
+            # pallas_call stays a custom call with vma declared from its cache
+            # operand, so the default multi-device path keeps full vma
+            # verification; numerics on the CPU path are still asserted
+            # sharded-vs-unsharded and the HLO collective-free in tests.
             kwargs["check_vma"] = False
         return jax.jit(
             shard_map(

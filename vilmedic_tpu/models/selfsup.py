@@ -11,8 +11,10 @@ Parity targets:
   contrastive learning. The reference grabs local CNN features with a forward
   hook on layer3 (:79); here the ResNet exposes ``capture_layer`` as an explicit
   second output — same features, no hooks. Sub-word aggregation over full words
-  (:123-181) is replaced by token-level embeddings with a special-token mask,
-  which the masked local loss consumes identically.
+  (:123-181) is implemented by ``_aggregate_words`` below: a static-shape
+  segment-sum pools sub-word token embeddings into whole-word slots (parity
+  asserted against a ragged numpy oracle in tests), and the masked local loss
+  consumes the pooled words exactly as the reference does.
 """
 
 from __future__ import annotations

@@ -23,9 +23,11 @@ This Pallas kernel owns the whole problem:
   head-pair contraction by lane-masking the query (the other head's lanes are
   zeroed, so the 128-lane dot equals the 64-lane per-head dot).
 - Beam ancestry (which slot owns which timestep's K/V — the functional analog
-  of the reorder) arrives as a pre-built dense additive bias over the joint
-  (t, slot) axis; the joint softmax equals the reordered path's softmax over t
-  exactly (masked lanes underflow to exp -> 0, kept lanes get +0.0).
+  of the reorder) arrives as a pre-built dense 0/1 mask over the joint
+  (t, slot) axis (``make_ancestry_mask``); the kernel converts it to an
+  additive bias in place (``(mask - 1) * 1e9``), so the joint softmax equals
+  the reordered path's softmax over t exactly (masked lanes underflow to
+  exp -> 0, kept lanes get +0.0).
 - MXU utilization: beams attend within their batch item only (a
   block-diagonal pattern of tiny 8-row matmuls). Items are processed in
   groups of G (G*K rows = up to a full 128-row MXU tile): one dense
@@ -33,14 +35,18 @@ This Pallas kernel owns the whole problem:
   redundant FLOPs that ride a fully-utilized MXU while the score tensor never
   leaves VMEM.
 - The current step's K/V (always the slot's own projection) joins the softmax
-  as one analytic extra lane, so the kernel reads only the pre-update cache
-  and the in-place writes race with nothing.
+  as one analytic extra lane, so no *live* lane ever reads position ``idx``
+  from the cache. The slab loads may still copy the t-chunk containing
+  ``idx`` concurrently with the in-place writes, but every lane with
+  ``t >= idx`` is masked off by the ancestry mask, so whichever bytes the
+  overlapping DMA observes are multiplied into exp(NEG_INF) — the overlap is
+  benign by masking, not by ordering.
 - The (group, head-pair) loop is fully unrolled at trace time: every slab DMA
   and vector slice has static offsets (this toolchain's Mosaic cannot prove
   alignment of loop-carried dynamic offsets); slabs are double-buffered so
   the next iteration's K/V DMAs overlap the current compute.
 
-``make_ancestry_bias`` builds the dense bias from the per-step ancestry
+``make_ancestry_mask`` builds the dense 0/1 mask from the per-step ancestry
 one-hot; ``fused_beam_cache_attention`` runs the kernel (interpret mode on
 CPU). Exact vs the permuted XLA path in f32 (asserted in tests); bf16 differs
 only by tile-order accumulation ulps.
@@ -135,7 +141,7 @@ def _kernel(idx_ref, kc_hbm, vc_hbm, q_ref, knew_ref, vnew_ref, bias_ref,
     start_live(0, 0)
     lane_iota = lax.broadcasted_iota(jnp.int32, (rows, LANE), 1)
     rows2 = hpb * rows
-    ccols = tchunk * rows  # 128-multiple (asserted in the wrapper)
+    ccols = tchunk * rows  # a 128-multiple — asserted in fused_beam_cache_attention
 
     for it, (gi, hp) in enumerate(steps):
         slot = it % 2
@@ -220,8 +226,9 @@ def fused_beam_cache_attention(kc, vc, q, k_new, v_new, bias, index,
 
     kc/vc: (T, N, H*D) caches (aliased: returned updated in place at
     ``index``); q/k_new/v_new: (N, H, D); bias: (groups, g*K, T*g*K) dense
-    additive f32 from :func:`make_ancestry_bias` (NEG_INF at non-ancestor or
-    t >= index lanes); index: () int32. Returns (out (N, H, D) f32, kc, vc).
+    0/1 mask from :func:`make_ancestry_mask` (1 at ancestor lanes with
+    t < index, 0 elsewhere; converted to an additive NEG_INF bias inside the
+    kernel); index: () int32. Returns (out (N, H, D) f32, kc, vc).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -238,6 +245,11 @@ def fused_beam_cache_attention(kc, vc, q, k_new, v_new, bias, index,
              if t % c == 0 and (c * rows) % LANE == 0]
     target = max(1, t // 5)
     tchunk = min(cands, key=lambda c: (abs(c - target), c)) if cands else t
+    # the kernel reshapes each (tchunk, rows, LANE) slab chunk to
+    # (tchunk*rows, LANE) and lane-slices the mask at tchunk*rows columns —
+    # Mosaic requires that to be a 128-multiple (callers control rows = g*K);
+    # interpret mode (CPU tests) has no tiling constraint
+    assert interpret or (tchunk * rows) % LANE == 0, (tchunk, rows)
 
     kernel = functools.partial(
         _kernel, groups=groups, rows=rows, t=t, d=d, hd=hd, tchunk=tchunk,
@@ -245,7 +257,7 @@ def fused_beam_cache_attention(kc, vc, q, k_new, v_new, bias, index,
     # under shard_map (the multi-device eval path) outputs must declare their
     # varying mesh axes; inherit them from the cache operand
     try:
-        vma = jax.core.get_aval(kc).vma
+        vma = jax.typeof(kc).vma
         _sds = lambda shape, dtype: jax.ShapeDtypeStruct(shape, dtype, vma=vma)
     except (AttributeError, TypeError):
         _sds = jax.ShapeDtypeStruct
@@ -259,16 +271,16 @@ def fused_beam_cache_attention(kc, vc, q, k_new, v_new, bias, index,
         num_scalar_prefetch=1,
         grid=(1,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # kc
-            pl.BlockSpec(memory_space=pltpu.ANY),  # vc
+            pl.BlockSpec(memory_space=pl.ANY),  # kc
+            pl.BlockSpec(memory_space=pl.ANY),  # vc
             pl.BlockSpec(memory_space=pltpu.VMEM),  # q
             pl.BlockSpec(memory_space=pltpu.VMEM),  # k_new
             pl.BlockSpec(memory_space=pltpu.VMEM),  # v_new
             pl.BlockSpec(memory_space=pltpu.VMEM),  # bias
         ],
         out_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[

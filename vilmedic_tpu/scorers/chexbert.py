@@ -302,7 +302,13 @@ class F1CheXbertImpl:
         from sklearn.metrics import classification_report
 
         if self.refs_filename and os.path.exists(self.refs_filename):
-            refs_chexbert = [eval(l.strip()) for l in open(self.refs_filename)]
+            # cache lines are repr'd python lists (f1chexbert pip format);
+            # literal_eval parses them without executing arbitrary code
+            import ast
+
+            refs_chexbert = [
+                ast.literal_eval(l.strip()) for l in open(self.refs_filename)
+            ]
         else:
             refs_chexbert = self.labeler.get_labels([r.strip() for r in refs])
             if self.refs_filename:

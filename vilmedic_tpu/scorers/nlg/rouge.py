@@ -24,7 +24,8 @@ class Rouge:
     def __call__(self, refs: List[str], hyps: List[str]) -> Tuple[float, List[float]]:
         if len(refs) != len(hyps):
             raise ValueError(
-                "Must have equal number of lines across target and prediction."
+                f"refs and hyps must be the same length, got {len(refs)} refs "
+                f"vs {len(hyps)} hyps"
             )
         scores = [self.scorer.score(r, h) for r, h in zip(refs, hyps)]
         f1 = [s[self.rouges[0]].fmeasure for s in scores]
