@@ -37,6 +37,10 @@ def make_backbone(backbone: str, output_layer: Optional[str], dtype=jnp.float32,
         return make_densenet(name, output_layer or "features", spatial_dims=2, dtype=dtype)
     if name.startswith("3d_densenet"):
         return make_densenet(name, output_layer or "features", spatial_dims=3, dtype=dtype)
+    if "dinov2" in name:
+        from .dinov2 import make_dinov2
+
+        return make_dinov2(name, output_layer, dtype=dtype, **kwargs)
     if "vit" in name or "deit" in name:
         return make_vit(name, output_layer, dtype=dtype, **kwargs)
     raise KeyError(f"Unknown vision backbone {backbone!r}")
@@ -85,7 +89,7 @@ class VisualEncoder(nn.Module):
         if self.freeze:
             out = jax.lax.stop_gradient(out)
         name = self.backbone.lower()
-        if "vit" in name or "deit" in name:
+        if "vit" in name or "deit" in name or "dinov2" in name:
             return self.dropout(out, deterministic=not train)
 
         out = self.dropout(out, deterministic=not train)

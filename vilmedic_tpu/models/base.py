@@ -20,6 +20,7 @@ from __future__ import annotations
 from typing import Dict, Tuple
 
 import jax
+import numpy as np
 
 
 def get_special_token_ids(model_config, tokenizer) -> Tuple[int, int, int]:
@@ -131,6 +132,20 @@ class TaskModel:
                 from ..zoo.convert_vision import convert_hf_vit
 
                 conv = {"model": convert_hf_vit(sd)}  # VisualEncoder.model
+            elif kind == "dinov2":
+                from ..zoo.convert_vision import convert_hf_dinov2
+
+                # the checkpoint's position grid re-interpolates to this
+                # model's static grid (inferred from the initialized params —
+                # convert_vision.interpolate_pos_grid, torch-bicubic-exact)
+                tgt = None
+                try:
+                    tgt = int(
+                        np.shape(params[key]["model"]["pos_embed"])[1]
+                    )
+                except (KeyError, TypeError):
+                    pass
+                conv = {"model": convert_hf_dinov2(sd, target_tokens=tgt)}
             elif kind == "causal":
                 conv = convert_hf_causal_lm(sd)
             else:

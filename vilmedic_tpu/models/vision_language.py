@@ -62,6 +62,10 @@ class VisionLanguageModule(nn.Module):
     cfg: TransformerConfig
     vision: nn.Module  # VisualEncoder (frozen)
     num_image_tokens: int  # static prefix length incl. the marker token
+    #: drop the backbone's CLS token from the prefix — the reference's
+    #: DINOv2 backbone path returns patch tokens only (AutoBackbone feature
+    #: maps, reference model.py:86-99)
+    drop_cls_token: bool = False
 
     def setup(self):
         cfg = self.cfg
@@ -79,6 +83,8 @@ class VisionLanguageModule(nn.Module):
         """(B, P, D): marker token + projected patch features (reference :81-106)."""
         feats = self.vision(images, train=False)  # frozen backbone
         feats = jax.lax.stop_gradient(feats)
+        if self.drop_cls_token:
+            feats = feats[:, 1:]
         proj = self.proj_fc2(nn.gelu(self.proj_fc1(feats)))
         b = proj.shape[0]
         marker = jnp.tile(self.image_token_embedding.astype(proj.dtype), (b, 1, 1))
@@ -218,11 +224,44 @@ def vl_evaluation(models, config, dl, from_training=True, **kwargs) -> Dict[str,
 class VisionLanguage(TaskModel):
     """proto ``VisionLanguage``: the hf_trainer stack's VLM as a native model."""
 
-    def __init__(self, decoder=None, vision=None, dl=None, logger=None,
-                 from_training=True, dtype="float32", **kwargs):
+    def __init__(self, decoder=None, vision=None, vision_model_name=None,
+                 dl=None, logger=None, from_training=True, dtype="float32",
+                 **kwargs):
         compute_dtype = jnp.bfloat16 if str(dtype) in ("bfloat16", "bf16") else jnp.float32
         decoder_args = resolve_block_config(decoder or {})
+        if isinstance(vision, str):
+            vision_model_name = vision
+            vision = None
         vision = _d(vision or {})
+        vision_model_name = vision.pop("vision_model_name", vision_model_name)
+
+        self._pretrained_blocks = {}
+        drop_cls_token = False
+        if vision_model_name:
+            # pretrained frozen tower (reference model.py:15,46: AutoBackbone
+            # from vision_model_name with requires_grad=False). Architecture
+            # from the locally cached HF config; weights overlay post-init
+            # through zoo/convert_vision.convert_hf_dinov2.
+            from .hf_compat import _resolve_hf_config
+
+            hf = _resolve_hf_config(vision_model_name)
+            if hf.get("model_type") != "dinov2":
+                raise ValueError(
+                    f"vision_model_name {vision_model_name!r} resolved to "
+                    f"model_type {hf.get('model_type')!r}; only DINOv2 "
+                    f"backbones are supported here (the reference's default)"
+                )
+            vision.setdefault("backbone", "dinov2")
+            # image_size may be overridden (the position grid re-interpolates
+            # at load); every other architecture key comes from the checkpoint
+            for k in ("hidden_size", "num_hidden_layers", "num_attention_heads",
+                      "mlp_ratio", "patch_size", "layer_norm_eps",
+                      "use_swiglu_ffn", "hidden_act"):
+                if k in hf:
+                    vision.setdefault(k, hf[k])
+            vision.setdefault("image_size", hf.get("image_size", 518))
+            self._pretrained_blocks["vision"] = (vision_model_name, "dinov2")
+            drop_cls_token = True
 
         tok_overrides = {}
         if dl is not None:
@@ -244,9 +283,11 @@ class VisionLanguage(TaskModel):
 
         image_size = vision.get("image_size", 224)
         patch = vision.get("patch_size", 16)
-        num_image_tokens = (image_size // patch) ** 2 + 2  # cls + marker
+        # prefix = patches + marker (+ cls unless the backbone drops it)
+        num_image_tokens = (image_size // patch) ** 2 + (1 if drop_cls_token else 2)
         self.module = VisionLanguageModule(
-            cfg=self.dec_config, vision=enc, num_image_tokens=num_image_tokens
+            cfg=self.dec_config, vision=enc, num_image_tokens=num_image_tokens,
+            drop_cls_token=drop_cls_token,
         )
         self.eval_func = vl_evaluation
         self.variables: Optional[Dict] = None

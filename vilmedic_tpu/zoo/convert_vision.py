@@ -92,6 +92,116 @@ def convert_resnet(state_dict: Dict, name: str = "resnet50") -> Tuple[Dict, Dict
     return params, stats
 
 
+def _cubic_weights(n_in: int, n_out: int) -> np.ndarray:
+    """(n_out, n_in) matrix applying torch's ``interpolate(mode="bicubic",
+    align_corners=False)`` along one axis: cubic convolution kernel with
+    A = -0.75, half-pixel centers, border-clamped taps. Exact vs torch in f32
+    (asserted in tests) — HF upcasts the grid to f32 before interpolating
+    (modeling_dinov2.py interpolate_pos_encoding), as do we."""
+    a = -0.75
+
+    def k(t):
+        t = abs(t)
+        if t <= 1.0:
+            return (a + 2) * t ** 3 - (a + 3) * t ** 2 + 1
+        if t < 2.0:
+            return a * t ** 3 - 5 * a * t ** 2 + 8 * a * t - 4 * a
+        return 0.0
+
+    w = np.zeros((n_out, n_in), np.float64)
+    scale = n_in / n_out
+    for j in range(n_out):
+        x = (j + 0.5) * scale - 0.5
+        base = int(np.floor(x))
+        for tap in range(base - 1, base + 3):
+            w[j, min(max(tap, 0), n_in - 1)] += k(x - tap)
+    return w.astype(np.float32)
+
+
+def interpolate_pos_grid(pos: np.ndarray, target_tokens: int) -> np.ndarray:
+    """DINOv2 position embeddings (1, 1 + g*g, D) -> (1, 1 + t*t, D).
+
+    The CLS slot passes through; the square patch grid is bicubically resized
+    with torch-exact weights (see ``_cubic_weights``). HF does this on every
+    forward (modeling_dinov2.py interpolate_pos_encoding); here it happens
+    once at conversion time since the target grid is static per config."""
+    n = pos.shape[1] - 1
+    if n + 1 == target_tokens:
+        return pos
+    g = int(round(n ** 0.5))
+    t = int(round((target_tokens - 1) ** 0.5))
+    assert g * g == n and t * t == target_tokens - 1, (n, target_tokens)
+    d = pos.shape[-1]
+    grid = pos[0, 1:].astype(np.float32).reshape(g, g, d)
+    w = _cubic_weights(g, t)
+    grid = np.einsum("og,ghd->ohd", w, grid)
+    grid = np.einsum("og,hgd->hod", w, grid)
+    return np.concatenate(
+        [pos[:, :1].astype(np.float32), grid.reshape(1, t * t, d)], axis=1
+    )
+
+
+def convert_hf_dinov2(state_dict: Dict, target_image_size: int = None,
+                      target_tokens: int = None) -> Dict:
+    """HF ``Dinov2Model``/``Dinov2Backbone.state_dict()`` -> Flax
+    ``blocks.vision.dinov2.Dinov2`` params.
+
+    Layout differences vs ``convert_hf_vit``: per-layer LayerScale vectors
+    (``layer_scale{1,2}.lambda1`` -> ``ls{1,2}``), ``norm1/norm2`` naming,
+    ``mlp.fc{1,2}`` (or SwiGLU ``weights_in/out``), and an interpolatable
+    position grid (``target_image_size`` re-grids the checkpoint's positions
+    for a different input resolution). The mask token (MIM pretraining
+    artifact) is dropped. Matches the reference's frozen tower
+    (hf_trainer/models/vision_language_modernbert/model.py:46)."""
+    sd = {k.removeprefix("dinov2."): np.asarray(v) for k, v in state_dict.items()}
+    proj = sd["embeddings.patch_embeddings.projection.weight"]  # (D, C, p, p)
+    pos = sd["embeddings.position_embeddings"]
+    if target_tokens is None and target_image_size is not None:
+        patch = proj.shape[-1]
+        target_tokens = (target_image_size // patch) ** 2 + 1
+    if target_tokens is not None:
+        pos = interpolate_pos_grid(pos, target_tokens)
+    params: Dict = {
+        "patch_embed": {
+            "kernel": np.transpose(proj, (2, 3, 1, 0)),
+            "bias": sd["embeddings.patch_embeddings.projection.bias"],
+        },
+        "cls_token": sd["embeddings.cls_token"],
+        "pos_embed": pos,
+        "ln_final": {"scale": sd["layernorm.weight"], "bias": sd["layernorm.bias"]},
+    }
+
+    def lin(prefix):
+        return {"kernel": np.ascontiguousarray(sd[prefix + ".weight"].T),
+                "bias": sd[prefix + ".bias"]}
+
+    i = 0
+    while f"encoder.layer.{i}.norm1.weight" in sd:
+        base = f"encoder.layer.{i}"
+        if f"{base}.mlp.fc1.weight" in sd:
+            ffn = {"fc1": lin(f"{base}.mlp.fc1"), "fc2": lin(f"{base}.mlp.fc2")}
+        else:  # SwiGLU variant (dinov2-giant)
+            ffn = {"weights_in": lin(f"{base}.mlp.weights_in"),
+                   "weights_out": lin(f"{base}.mlp.weights_out")}
+        params[f"layer_{i}"] = {
+            "ln_before": {"scale": sd[f"{base}.norm1.weight"],
+                          "bias": sd[f"{base}.norm1.bias"]},
+            "self_attn": {
+                "q": lin(f"{base}.attention.attention.query"),
+                "k": lin(f"{base}.attention.attention.key"),
+                "v": lin(f"{base}.attention.attention.value"),
+                "o": lin(f"{base}.attention.output.dense"),
+            },
+            "ls1": sd[f"{base}.layer_scale1.lambda1"],
+            "ln_after": {"scale": sd[f"{base}.norm2.weight"],
+                         "bias": sd[f"{base}.norm2.bias"]},
+            "ffn": ffn,
+            "ls2": sd[f"{base}.layer_scale2.lambda1"],
+        }
+        i += 1
+    return params
+
+
 def convert_hf_vit(state_dict: Dict) -> Dict:
     """HF ``ViTModel.state_dict()`` -> Flax ``blocks.vision.vit.ViT(pre_ln=True)``
     params (reference RRG_HF builds the vision side from pretrained HF ViT
