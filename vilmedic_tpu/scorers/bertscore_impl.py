@@ -47,18 +47,33 @@ def _resolve_baseline(model_type: str, layer: int) -> Optional[Tuple[float, floa
     if env:
         p, r, f = (float(x) for x in env.split(","))
         return p, r, f
-    try:  # installed bert_score package ships the tsv
-        import bert_score
+
+    def read_tsv(path):
         import csv
 
-        path = os.path.join(
-            os.path.dirname(bert_score.__file__), "rescale_baseline", "en",
-            f"{model_type}.tsv",
-        )
         with open(path) as fh:
             for row in csv.DictReader(fh):
                 if int(row["LAYER"]) == layer:
                     return float(row["P"]), float(row["R"]), float(row["F"])
+        return None
+
+    from .weights import resolve
+
+    tsv = resolve("BERTSCORE_BASELINE_TSV")
+    if tsv and os.path.exists(tsv):
+        try:
+            got = read_tsv(tsv)
+            if got:
+                return got
+        except Exception:
+            pass
+    try:  # installed bert_score package ships the tsv
+        import bert_score
+
+        return read_tsv(os.path.join(
+            os.path.dirname(bert_score.__file__), "rescale_baseline", "en",
+            f"{model_type}.tsv",
+        ))
     except Exception:
         pass
     return None

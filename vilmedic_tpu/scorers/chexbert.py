@@ -138,7 +138,9 @@ def convert_chexbert(state_dict: Dict) -> Dict:
 
 
 def _resolve_chexbert_pth() -> Optional[str]:
-    cand = os.environ.get("CHEXBERT_PTH")
+    from .weights import resolve
+
+    cand = resolve("CHEXBERT_PTH")
     if cand and os.path.exists(cand):
         return cand
     cache = os.environ.get("VILMEDIC_TPU_CACHE")
@@ -210,7 +212,9 @@ class CheXbert:
         if tokenizer is None:
             from transformers import BertTokenizer
 
-            vocab = os.environ.get("CHEXBERT_VOCAB")
+            from .weights import resolve
+
+            vocab = resolve("CHEXBERT_VOCAB")
             try:
                 if vocab and os.path.exists(vocab):
                     tokenizer = BertTokenizer(vocab_file=vocab)

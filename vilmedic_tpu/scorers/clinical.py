@@ -92,8 +92,11 @@ class BertScore:
 
     def __init__(self, model_type: str = "distilbert-base-uncased",
                  idf: bool = False, rescale_with_baseline: bool = True, **kwargs):
-        # BERTSCORE_MODEL: point at any local HF dir (offline deployments)
-        self.model_type = os.environ.get("BERTSCORE_MODEL", model_type)
+        # BERTSCORE_MODEL / $VILMEDIC_WEIGHTS_DIR/bertscore/model: any local
+        # HF dir (offline deployments)
+        from .weights import resolve
+
+        self.model_type = resolve("BERTSCORE_MODEL", model_type)
         self.idf = idf
         self.rescale_with_baseline = rescale_with_baseline
         if not os.path.isdir(self.model_type):

@@ -150,7 +150,9 @@ class GREENImpl:
         if judge_fn is None:
             from .clinical import ScorerUnavailable, _hf_model_cached
 
-            model_name = os.environ.get("GREEN_MODEL", model_name)
+            from .weights import resolve
+
+            model_name = resolve("GREEN_MODEL", model_name)
             if not os.path.isdir(model_name) and not _hf_model_cached(model_name):
                 raise ScorerUnavailable(
                     "GREEN judge weights unavailable: set GREEN_MODEL to a "

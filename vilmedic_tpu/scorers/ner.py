@@ -97,7 +97,9 @@ class RadNER:
         self.batch_size = batch_size
         self.max_len = max_len
         if params is None:
-            model_dir = model_dir or os.environ.get("RADNER_MODEL")
+            from .weights import resolve
+
+            model_dir = model_dir or resolve("RADNER_MODEL")
             if not model_dir or not os.path.isdir(model_dir):
                 raise ScorerUnavailable(
                     "radiology NER weights unavailable: set RADNER_MODEL to a "

@@ -93,7 +93,9 @@ class NLIPredictor:
         self.max_len = max_len
         self.batch_size = batch_size
         if params is None:
-            pth = os.environ.get("RADNLI_PTH")
+            from .weights import resolve
+
+            pth = resolve("RADNLI_PTH")
             if not pth or not os.path.exists(pth):
                 raise ScorerUnavailable(
                     "NLI weights unavailable: set RADNLI_PTH to a BERTNLI "
@@ -120,7 +122,9 @@ class NLIPredictor:
         if tokenizer is None:
             from transformers import BertTokenizer
 
-            vocab = os.environ.get("RADNLI_VOCAB", os.environ.get("CHEXBERT_VOCAB"))
+            from .weights import resolve
+
+            vocab = resolve("RADNLI_VOCAB", resolve("CHEXBERT_VOCAB"))
             try:
                 if vocab and os.path.exists(vocab):
                     tokenizer = BertTokenizer(vocab_file=vocab)
@@ -213,7 +217,9 @@ class RadEntityNLIImpl:
         self.match_exact = RadEntityMatchExactImpl(ner=ner)
         self.nli = nli if nli is not None else NLIPredictor()
         if sentence_scorer is None:
-            model = bertscore_model or os.environ.get(
+            from .weights import resolve
+
+            model = bertscore_model or resolve(
                 "BERTSCORE_MODEL", "distilbert-base-uncased"
             )
 
