@@ -163,7 +163,13 @@ def main():
 
     reports_per_sec = BATCH / dt
 
-    train_samples_per_sec, train_mfu = bench_train(module, variables)
+    train_samples_per_sec, train_mfu, train_step, train_state = bench_train(
+        module, variables
+    )
+    loader_samples_per_sec, host_img_per_sec = bench_loader(
+        train_step, train_state
+    )
+    scst_samples_per_sec = bench_scst(module, variables)
 
     print(
         json.dumps(
@@ -176,6 +182,9 @@ def main():
                 ),
                 "train_samples_per_sec_chip": train_samples_per_sec,
                 "train_mfu": train_mfu,
+                "loader_train_samples_per_sec_chip": loader_samples_per_sec,
+                "host_loader_img_per_sec": host_img_per_sec,
+                "scst_samples_per_sec_chip": scst_samples_per_sec,
             }
         )
     )
@@ -248,7 +257,150 @@ def bench_train(module, variables):
     dt = (time.perf_counter() - t0) / N
     samples_per_sec = round(TRAIN_BATCH / dt, 3)
     mfu = round(flops / dt / _peak_flops(), 4) if flops else None
-    return samples_per_sec, mfu
+    return samples_per_sec, mfu, train_step, (params, batch_stats, opt_state)
+
+
+class _U8Pool:
+    """Pre-decoded host u8 image pool + tokenized reports — the loader bench's
+    dataset. Decoding is deliberately excluded (this box has 1 CPU core; see
+    ROUND2_NOTES loader measurement): the bench bounds the collate + prefetch
+    + H2D + device-preproc path that sits between decode and the train step."""
+
+    def __init__(self, n, resize, text_len):
+        rng = np.random.default_rng(7)
+        self.images = rng.integers(0, 256, (n, resize, resize, 3), dtype=np.uint8)
+        self.ids = rng.integers(3, VOCAB, (n, text_len)).astype(np.int32)
+
+    def __len__(self):
+        return self.images.shape[0]
+
+    def __getitem__(self, i):
+        return {"image": [self.images[i]], "input_ids": self.ids[i]}
+
+
+def bench_loader(train_step, state):
+    """Input-pipeline-included training throughput: the real ``DataLoader``
+    (threaded prefetch) feeding u8 batches through ``finalize_device_preproc``
+    (the fused device crop+normalize) into the already-compiled train step.
+    Also reports the host-side loader rate alone (img/s)."""
+    from vilmedic_tpu.data.image import ImageDataset, finalize_device_preproc
+    from vilmedic_tpu.data.loader import DataLoader
+
+    pool = _U8Pool(8 * TRAIN_BATCH, 256, TRAIN_LEN)
+    # the REAL device-preproc collate (random-crop offsets drawn on host)
+    img_ds = ImageDataset(split="train", device_preproc=True, inference_only=True,
+                          resize=256, crop=IMAGE)
+    img_collate = img_ds.get_collate_fn()
+
+    def collate(samples):
+        out = img_collate(samples)
+        out["input_ids"] = np.stack([s["input_ids"] for s in samples])
+        out["attention_mask"] = np.ones_like(out["input_ids"])
+        return out
+
+    def loader():
+        return DataLoader(pool, TRAIN_BATCH, shuffle=True, drop_last=True,
+                          collate_fn=collate, num_workers=4, seed=0)
+
+    # host-only rate: collate/prefetch with no device work in the loop
+    n = 0
+    t0 = time.perf_counter()
+    for batch in loader():
+        n += batch["images_u8"].shape[0]
+    host_img_per_sec = round(n / (time.perf_counter() - t0), 1)
+
+    params, batch_stats, opt_state = state
+    # warmup (finalize_device_preproc compiles crop_normalize once)
+    first = next(iter(loader()))
+    fb = finalize_device_preproc(first, IMAGE)
+    params, batch_stats, opt_state, loss = train_step(
+        params, batch_stats, opt_state, fb["images"],
+        jnp.asarray(fb["input_ids"]), jnp.asarray(fb["attention_mask"]),
+        jax.random.key(0),
+    )
+    _ = float(loss)
+
+    n = 0
+    t0 = time.perf_counter()
+    for i, batch in enumerate(loader()):
+        fb = finalize_device_preproc(batch, IMAGE)
+        params, batch_stats, opt_state, loss = train_step(
+            params, batch_stats, opt_state, fb["images"],
+            jnp.asarray(fb["input_ids"]), jnp.asarray(fb["attention_mask"]),
+            jax.random.key(i),
+        )
+        n += int(fb["input_ids"].shape[0])
+    _ = float(loss)
+    dt = time.perf_counter() - t0
+    return round(n / dt, 3), host_img_per_sec
+
+
+class _BenchTokenizer:
+    """Minimal tokenizer surface for the SCST reward path: ids decode to
+    space-joined word tokens, so ROUGE-L sees realistic-length strings."""
+
+    vocab_size = VOCAB
+    cls_token_id = 0
+    sep_token_id = 2
+    pad_token_id = 1
+
+    def decode(self, row, skip_special_tokens=True,
+               clean_up_tokenization_spaces=False):
+        return " ".join(f"w{int(t)}" for t in np.asarray(row) if int(t) > 2)
+
+
+def bench_scst(module, variables):
+    """SCST iteration throughput (samples/s/chip): fused greedy+sample rollout
+    (one decode loop at 2x batch) + host ROUGE-L rewards + the REINFORCE grad
+    step — the real ``RRG_SCST.train_iteration`` path (models/scst_models.py),
+    reference envelope config/RRG/rrg-scst* (SCST.py:48-195)."""
+    import types
+
+    from vilmedic_tpu.blocks.rl.scst import SCST, scst_loss  # noqa: F401
+    from vilmedic_tpu.executors.train_state import TrainState, create_optimizer
+    from vilmedic_tpu.models.scst_models import _SCSTBase
+
+    scst_batch = int(os.environ.get("BENCH_SCST_BATCH", 16))
+    rng = np.random.default_rng(3)
+    images = jnp.asarray(
+        rng.normal(size=(scst_batch, IMAGE, IMAGE, 3)), jnp.float32
+    )
+    ids = np.asarray(rng.integers(3, VOCAB, (scst_batch, MAX_LEN)), np.int32)
+    batch = {
+        "images": images,
+        "input_ids": ids,
+        "attention_mask": np.ones_like(ids),
+    }
+
+    tok = _BenchTokenizer()
+    model = _SCSTBase.__new__(_SCSTBase)
+    model.module = module
+    model.dec_config = module.dec_config
+    model.model = types.SimpleNamespace(
+        encoder_inputs=lambda b: {"images": b["images"]},
+    )
+    model.scst = SCST(
+        tokenizer=tok, max_length=MAX_LEN, bos_token_id=0, eos_token_id=2,
+        pad_token_id=1, scores="ROUGEL",
+    )
+    model._rollout_fn = None
+    model._grad_fn = None
+
+    tx = create_optimizer("adamw", {"lr": 5e-5})
+    state = TrainState(
+        step=jnp.asarray(0), params=variables["params"],
+        opt_state=tx.init(variables["params"]),
+        batch_stats=variables.get("batch_stats", {}),
+    )
+    trainor = types.SimpleNamespace(tx=tx, rng=jax.random.key(9))
+
+    state, loss, _ = model.train_iteration(trainor, state, batch, 5e-5)  # compile
+    N = 3
+    t0 = time.perf_counter()
+    for _ in range(N):
+        state, loss, _ = model.train_iteration(trainor, state, batch, 5e-5)
+    dt = (time.perf_counter() - t0) / N
+    return round(scst_batch / dt, 3)
 
 
 if __name__ == "__main__":
