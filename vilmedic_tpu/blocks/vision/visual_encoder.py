@@ -34,9 +34,13 @@ def make_backbone(backbone: str, output_layer: Optional[str], dtype=jnp.float32,
     if name in STAGE_SIZES:
         return make_resnet(name, output_layer or "avgpool", dtype=dtype)
     if name.startswith("densenet"):
-        return make_densenet(name, output_layer or "features", spatial_dims=2, dtype=dtype)
+        return make_densenet(
+            name, output_layer or "features", spatial_dims=2, dtype=dtype, **kwargs
+        )
     if name.startswith("3d_densenet"):
-        return make_densenet(name, output_layer or "features", spatial_dims=3, dtype=dtype)
+        return make_densenet(
+            name, output_layer or "features", spatial_dims=3, dtype=dtype, **kwargs
+        )
     if "dinov2" in name:
         from .dinov2 import make_dinov2
 
