@@ -26,14 +26,31 @@ BLK = 128
 NB = -(-V // BLK)
 R = 2 * K
 
-rng = np.random.default_rng(0)
-kb = jnp.asarray(rng.normal(size=(H, NB * BLK)) * 0.02, jnp.bfloat16)
-bb = jnp.asarray(
-    np.concatenate([rng.normal(size=(V,)) * 0.02,
-                    np.full((NB * BLK - V,), -1e30)]), jnp.float32
-)
-hs = [jnp.asarray(rng.normal(size=(N, H)), jnp.bfloat16) for _ in range(8)]
-alive = jnp.asarray(rng.normal(size=(B, K)), jnp.float32)
+# generate on device in ONE jitted program: both H2D of ~100 MB and op-by-op
+# dispatch are minutes over the axon tunnel
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_vilmedic_tpu")
+
+
+@jax.jit
+def _make_data():
+    kb = (jax.random.normal(jax.random.key(0), (H, NB * BLK)) * 0.02).astype(
+        jnp.bfloat16
+    )
+    bb = jnp.where(
+        jnp.arange(NB * BLK) < V,
+        jax.random.normal(jax.random.key(1), (NB * BLK,)) * 0.02,
+        -1e30,
+    ).astype(jnp.float32)
+    hs = tuple(
+        jax.random.normal(jax.random.key(2 + i), (N, H)).astype(jnp.bfloat16)
+        for i in range(8)
+    )
+    alive = jax.random.normal(jax.random.key(99), (B, K)).astype(jnp.float32)
+    return kb, bb, hs, alive
+
+
+kb, bb, hs, alive = _make_data()
+np.asarray(alive)  # force the whole program resident
 
 
 def timeit(fn, args_list, label, inner=4):

@@ -1,0 +1,82 @@
+"""Fused blocked LM-head + stats kernel (interpret mode on CPU): numerics vs
+the XLA route feeding _candidates_from_blocks."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vilmedic_tpu.decoding.decode import _candidates_from_blocks
+from vilmedic_tpu.ops.blocked_lm_head import (
+    lm_head_blocked_stats,
+    unpack_stats,
+)
+
+B, K, H, V = 4, 4, 256, 1000
+N = B * K
+BLK = 128
+NB = -(-V // BLK)
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(0)
+    h = jnp.asarray(rng.normal(size=(N, H)), jnp.float32)
+    kb = jnp.asarray(
+        np.pad(rng.normal(size=(H, V)) * 0.1, ((0, 0), (0, NB * BLK - V))),
+        jnp.float32,
+    )
+    bb = jnp.asarray(
+        np.concatenate([rng.normal(size=(V,)) * 0.1,
+                        np.full((NB * BLK - V,), -1e30)]), jnp.float32
+    )
+    alive = jnp.asarray(rng.normal(size=(B, K)), jnp.float32)
+    return h, kb, bb, alive
+
+
+def test_logits_and_stats_match_xla(data):
+    h, kb, bb, _ = data
+    tile_v = 256
+    logits, bmax_p, bsum_p = lm_head_blocked_stats(
+        h, kb, bb, tile_v=tile_v, interpret=True
+    )
+    bmax = unpack_stats(bmax_p, tile_v)
+    bsum = unpack_stats(bsum_p, tile_v)
+
+    want = np.asarray(
+        jnp.matmul(h, kb, preferred_element_type=jnp.float32) + bb
+    )
+    vp = want.shape[1]
+    np.testing.assert_allclose(np.asarray(logits)[:, :vp], want, rtol=1e-6)
+    xp = want.reshape(N, NB, BLK)
+    np.testing.assert_allclose(np.asarray(bmax)[:, :NB], xp.max(-1), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(bsum)[:, :NB],
+        np.sum(np.exp(xp - xp.max(-1, keepdims=True)), -1), rtol=1e-5,
+    )
+    # pad blocks can never win: maxima at the NEG floor
+    assert np.all(np.asarray(bmax)[:, NB:] <= -1e29)
+
+
+def test_selection_from_kernel_stats_matches_blocks_route(data):
+    """Candidate (scores, beam, token) via the kernel outputs == the
+    production _candidates_from_blocks on the same logits."""
+    from vilmedic_tpu.decoding.decode import _candidates_from_stats
+
+    h, kb, bb, alive = data
+    tile_v = 256
+    logits, bmax_p, bsum_p = lm_head_blocked_stats(
+        h, kb, bb, tile_v=tile_v, interpret=True
+    )
+    nb_pad = logits.shape[1] // BLK
+    got = _candidates_from_stats(
+        logits, unpack_stats(bmax_p, tile_v), unpack_stats(bsum_p, tile_v),
+        B, K, alive, 2 * K,
+    )
+
+    xp = (jnp.matmul(h, kb, preferred_element_type=jnp.float32) + bb).reshape(
+        N, NB, BLK
+    )
+    want = _candidates_from_blocks(xp, B, K, alive, 2 * K)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), rtol=1e-6)

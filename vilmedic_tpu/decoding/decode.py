@@ -429,6 +429,39 @@ def _candidates_from_flat(xflat: jnp.ndarray, b: int, k: int,
     return scores, cand_beam.astype(jnp.int32), cand_token.astype(jnp.int32)
 
 
+def _candidates_from_stats(xflat: jnp.ndarray, bmax: jnp.ndarray,
+                           bsum: jnp.ndarray, b: int, k: int,
+                           alive_logp: jnp.ndarray, r: int, blk: int = 128):
+    """Candidate selection from the fused lm_head kernel's outputs
+    (ops/blocked_lm_head.lm_head_blocked_stats): flat padded f32 logits
+    (n, nb*blk) plus precomputed per-block max / sum-exp (n, nb) — the block
+    stats pass over the full logits is already done inside the matmul kernel,
+    so this only runs the two small top-ks and the candidate-block gather.
+    Same algorithm/exactness argument as ``_candidates_from_blocks``."""
+    n, vp = xflat.shape
+    nb = vp // blk
+    m = bmax.max(axis=-1)
+    lse = jnp.log(jnp.sum(jnp.exp(bmax - m[:, None]) * bsum, axis=-1)) + m
+
+    off = alive_logp.reshape(n) - lse
+    adj = (bmax + off[:, None]).reshape(b, k * nb)
+    nblocks = min(r, k * nb)
+    _, gbidx = lax.top_k(adj, nblocks)  # (b, nblocks) global block ids
+
+    cand = jnp.take_along_axis(
+        xflat.reshape(b, k * nb, blk), gbidx[..., None], axis=1
+    )  # (b, nblocks, blk)
+    block_off = jnp.take_along_axis(
+        jnp.repeat(off.reshape(b, k), nb, axis=1), gbidx, axis=1
+    )
+    cand_flat = (cand + block_off[..., None]).reshape(b, nblocks * blk)
+    scores, sel = lax.top_k(cand_flat, r)
+    chosen_block = jnp.take_along_axis(gbidx, sel // blk, axis=1)
+    cand_beam = chosen_block // nb
+    cand_token = (chosen_block % nb) * blk + sel % blk
+    return scores, cand_beam.astype(jnp.int32), cand_token.astype(jnp.int32)
+
+
 def _candidates_from_blocks(xp: jnp.ndarray, b: int, k: int,
                             alive_logp: jnp.ndarray, r: int):
     """Candidate selection over pre-blocked logits (n, nb, blk) f32 whose padded

@@ -1,0 +1,121 @@
+"""Fused LM-head matmul + per-128-block score statistics (Pallas TPU kernel).
+
+Decode-loop candidate selection (decoding/decode.py ``_candidates_from_blocks``)
+needs three things from the lm_head: the blocked f32 logits (for the final
+candidate gather), the per-128-block maxima (block pre-selection), and the
+per-block sum-exp (row logsumexp). The XLA route computes the matmul first and
+then re-reads the full (N, V) f32 logits from HBM for the stats pass — at
+bench shapes (256 x 50k) that second pass re-streams ~51 MB and XLA follows it
+with a {1,0}->{0,1} relayout of the whole logits tensor to feed the candidate
+gather (~40 us, ROUND2_NOTES).
+
+This kernel emits all three in ONE pass over the weight stream: grid over
+vocab tiles; per tile the (N, tile_v) logits block is produced on the MXU,
+written once, and reduced to block max / sum-exp while still in VMEM — the
+stats cost no extra HBM traffic at all.
+
+Layout notes (v5e Mosaic rules, see ROUND2_NOTES):
+- stats outputs cannot be written as (N, nbt) blocks (lane dim must be a
+  128-multiple or the full array), so each tile writes a (N, 128) stats block
+  whose first ``tile_v // 128`` lanes are real (rest NEG/0 padding);
+  ``unpack_stats`` slices them back to (N, NB) — a few-MB no-op downstream.
+- no reshapes into/out of the lane dim in-kernel: per-block reductions are
+  taken over static 128-lane slices.
+
+The r2 ``fused_lm_head`` negative (VPU argmax-peel per tile dominating) does
+not apply here: the only in-kernel VPU work is max/exp/sum — exactly what the
+XLA stats pass already pays, minus its HBM round-trip.
+
+Exactness: the matmul is the same bf16 MXU contraction with f32 accumulation
+as ``TransformerDecoder._head_blocked`` (asserted bit-identical on hardware in
+tests/test_blocked_lm_head.py); block maxima are order-free; sum-exp may
+differ from the XLA pass by reduction-order ulps, shifting a row's logsumexp
+by <=1 ulp — this offsets every candidate of that row equally, and HF-generate
+sequence parity is re-asserted with the kernel enabled.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG = -1.0e30
+BLK = 128
+
+
+def _kernel(h_ref, w_ref, b_ref, out_ref, bmax_ref, bsum_ref, *, tile_v: int):
+    n = h_ref.shape[0]
+    logits = jnp.dot(h_ref[:], w_ref[:], preferred_element_type=jnp.float32)
+    logits = logits + b_ref[:]
+    out_ref[:] = logits
+
+    nbt = tile_v // BLK
+    maxes, sums = [], []
+    for t in range(nbt):
+        sl = logits[:, t * BLK:(t + 1) * BLK]
+        m = jnp.max(sl, axis=-1, keepdims=True)
+        maxes.append(m)
+        sums.append(jnp.sum(jnp.exp(sl - m), axis=-1, keepdims=True))
+    pad = BLK - nbt
+    bmax_ref[:] = jnp.concatenate(
+        maxes + [jnp.full((n, pad), NEG, jnp.float32)], axis=1
+    )
+    bsum_ref[:] = jnp.concatenate(
+        sums + [jnp.zeros((n, pad), jnp.float32)], axis=1
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("tile_v", "interpret"))
+def lm_head_blocked_stats(h, kb, bb, tile_v: int = 1024, interpret: bool = False):
+    """One fused pass: logits + per-128-block stats.
+
+    h: (N, H) compute-dtype hidden states; kb: (H, Vp) padded head kernel and
+    bb: (Vp,) f32 padded bias from ``make_blocked_head_weights`` — Vp is
+    additionally padded here to a ``tile_v`` multiple (pad bias NEG, so pad
+    blocks can never win selection). Returns
+    ``(logits (N, Vp') f32, bmax (N, n_tiles*128) f32, bsum same)``;
+    unpack the stats with :func:`unpack_stats`.
+    """
+    n, hidden = h.shape
+    vp = kb.shape[1]
+    pad = (-vp) % tile_v
+    if pad:
+        kb = jnp.pad(kb, ((0, 0), (0, pad)))
+        bb = jnp.pad(bb, (0, pad), constant_values=NEG)
+    vpp = vp + pad
+    grid = (vpp // tile_v,)
+
+    logits, bmax, bsum = pl.pallas_call(
+        functools.partial(_kernel, tile_v=tile_v),
+        grid=grid,
+        interpret=interpret,
+        in_specs=[
+            pl.BlockSpec((n, hidden), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden, tile_v), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_v), lambda j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((n, tile_v), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, BLK), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, BLK), lambda j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, vpp), jnp.float32),
+            jax.ShapeDtypeStruct((n, (vpp // tile_v) * BLK), jnp.float32),
+            jax.ShapeDtypeStruct((n, (vpp // tile_v) * BLK), jnp.float32),
+        ],
+    )(h, kb, bb.reshape(1, -1))
+    return logits, bmax, bsum
+
+
+def unpack_stats(stats, tile_v: int):
+    """(N, n_tiles*128) padded stats -> (N, n_tiles * (tile_v // 128))."""
+    n = stats.shape[0]
+    nbt = tile_v // BLK
+    n_tiles = stats.shape[1] // BLK
+    return stats.reshape(n, n_tiles, BLK)[:, :, :nbt].reshape(n, n_tiles * nbt)
