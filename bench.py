@@ -54,7 +54,7 @@ def _peak_flops() -> float:
     return 197e12  # assume v5e-class
 
 
-def build_model():
+def build_model(packed_growth=None):
     from vilmedic_tpu.blocks.transformer import TransformerConfig
     from vilmedic_tpu.blocks.vision.visual_encoder import VisualEncoder
     from vilmedic_tpu.models.rrg import RRGModule
@@ -65,6 +65,9 @@ def build_model():
         permute="batch_first",
         projection_dim=768,
         dtype=jnp.bfloat16,
+        backbone_kwargs=(
+            None if packed_growth is None else {"packed_growth": packed_growth}
+        ),
     )
     cfg = TransformerConfig(
         vocab_size=VOCAB,
@@ -234,7 +237,33 @@ def bench_train(module, variables):
     args = (params, batch_stats, opt_state, images, ids, mask, jax.random.key(0))
     flops = None
     try:
-        cost = train_step.lower(*args).compile().cost_analysis()
+        # Model flops come from the UNPACKED densenet graph: the MXU-packed
+        # growth convs (blocks/vision/densenet.PackedConv3x3) execute 16/9
+        # the algorithmic flops as zero-weight taps, and counting those would
+        # inflate MFU. Timing below runs the packed (default) graph; flops
+        # here are the algorithm's. One extra lowering, compile-cached.
+        plain = build_model(packed_growth=False)
+
+        def plain_loss(params, batch_stats, images, ids, mask, key):
+            vs = {"params": params}
+            if batch_stats:
+                vs["batch_stats"] = batch_stats
+            out, updated = plain.apply(
+                vs, images, ids, mask, train=True, rngs={"dropout": key},
+                mutable=["batch_stats"],
+            )
+            return out["loss"], updated.get("batch_stats", {})
+
+        @jax.jit
+        def plain_step(params, batch_stats, opt_state, images, ids, mask, key):
+            (loss, new_stats), grads = jax.value_and_grad(
+                plain_loss, has_aux=True
+            )(params, batch_stats, images, ids, mask, key)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, new_stats, opt_state, loss
+
+        cost = plain_step.lower(*args).compile().cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
         flops = float(cost.get("flops", 0.0)) or None

@@ -38,7 +38,7 @@ def test_logits_and_stats_match_xla(data):
     h, kb, bb, _ = data
     tile_v = 256
     logits, bmax_p, bsum_p = lm_head_blocked_stats(
-        h, kb, bb, tile_v=tile_v, interpret=True
+        h, kb, bb, tile_v=tile_v, interpret=True, force_pallas=True
     )
     bmax = unpack_stats(bmax_p, tile_v)
     bsum = unpack_stats(bsum_p, tile_v)
@@ -58,6 +58,20 @@ def test_logits_and_stats_match_xla(data):
     assert np.all(np.asarray(bmax)[:, NB:] <= -1e29)
 
 
+def test_jnp_reference_path_matches_pallas_interpret(data):
+    """The CPU production path (plain-jnp, shard_map-safe) emits the exact
+    packed layout the pallas kernel writes."""
+    h, kb, bb, _ = data
+    tile_v = 256
+    ref = lm_head_blocked_stats(h, kb, bb, tile_v=tile_v, interpret=True)
+    ker = lm_head_blocked_stats(
+        h, kb, bb, tile_v=tile_v, interpret=True, force_pallas=True
+    )
+    for r, k in zip(ref, ker):
+        assert r.shape == k.shape
+        np.testing.assert_allclose(np.asarray(r), np.asarray(k), rtol=1e-6)
+
+
 def test_selection_from_kernel_stats_matches_blocks_route(data):
     """Candidate (scores, beam, token) via the kernel outputs == the
     production _candidates_from_blocks on the same logits."""
@@ -66,7 +80,7 @@ def test_selection_from_kernel_stats_matches_blocks_route(data):
     h, kb, bb, alive = data
     tile_v = 256
     logits, bmax_p, bsum_p = lm_head_blocked_stats(
-        h, kb, bb, tile_v=tile_v, interpret=True
+        h, kb, bb, tile_v=tile_v, interpret=True, force_pallas=True
     )
     nb_pad = logits.shape[1] // BLK
     got = _candidates_from_stats(

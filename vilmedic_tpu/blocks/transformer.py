@@ -495,6 +495,33 @@ class TransformerDecoder(nn.Module):
         nb = out.shape[-1] // block
         return out.reshape(out.shape[0], nb, block)
 
+    def _head_blocked_stats(self, h, blocked_weights, tile_v: int = 1024):
+        """LM head through the fused Pallas kernel (ops/blocked_lm_head):
+        one pass over the weight stream emits flat padded f32 logits PLUS the
+        per-128-block max / sum-exp the beam candidate selection needs —
+        the XLA route re-reads the full (N, V) logits from HBM for that stats
+        pass and relayouts them for the candidate gather (~80 us/step at
+        vocab 50k on v5e). Returns ``(logits (N, Vp), bmax (N, nb),
+        bsum (N, nb))`` for beam_search's ``_candidates_from_stats``.
+
+        The kernel matmul is the same bf16 MXU contraction with f32
+        accumulation as ``_head_blocked`` (bit-identity asserted on hardware,
+        tests/test_blocked_lm_head.py); sum-exp reduction order may shift a
+        row's logsumexp by ulps, which offsets all of that row's candidates
+        equally — beam argmax choices are unaffected.
+        """
+        from ..ops.blocked_lm_head import lm_head_blocked_stats, unpack_stats
+
+        cfg = self.config
+        if cfg.lm_head_transform:
+            h = self.lm_transform_ln(nn.gelu(self.lm_transform(h), approximate=False))
+        kb, bb = blocked_weights
+        logits, bmax_p, bsum_p = lm_head_blocked_stats(
+            h.reshape(-1, kb.shape[0]).astype(cfg.dtype), kb, bb,
+            tile_v=tile_v, interpret=jax.default_backend() == "cpu",
+        )
+        return logits, unpack_stats(bmax_p, tile_v), unpack_stats(bsum_p, tile_v)
+
     def __call__(
         self,
         input_ids=None,
@@ -569,8 +596,12 @@ class TransformerDecoder(nn.Module):
                 else:
                     new_cache.append({"self_k": new_self["k"], "self_v": new_self["v"]})
             if blocked_head is not None and blocked_head != 0:
-                # (N, nb, block) f32 — consumed by beam_search(blocked_vocab=V)
-                logits = self._head_blocked(h[:, -1], blocked_head)
+                if len(blocked_head) == 3 and blocked_head[2] == "stats":
+                    # fused Pallas head: (flat logits, block max, block sumexp)
+                    logits = self._head_blocked_stats(h[:, -1], blocked_head[:2])
+                else:
+                    # (N, nb, block) f32 — consumed by beam_search(blocked_vocab=V)
+                    logits = self._head_blocked(h[:, -1], blocked_head)
             else:
                 logits = self._head(h, keep_dtype=False)
             return logits, tuple(new_cache)

@@ -656,7 +656,15 @@ def beam_search(
         else:
             logits, new_caches = step_fn(tokens, caches, i)
         if blocked_vocab is not None:
-            if logits.ndim == 2:  # flat padded (N, nb*blk) from _head_blocked
+            if isinstance(logits, tuple):
+                # (flat logits, block max, block sumexp) from the fused
+                # Pallas head (_head_blocked_stats): the full-logits stats
+                # pass already happened inside the matmul kernel
+                xflat, bmax, bsum = logits
+                cand_scores, cand_beam, cand_token = _candidates_from_stats(
+                    xflat, bmax, bsum, b, k, alive_logp, 2 * k
+                )
+            elif logits.ndim == 2:  # flat padded (N, nb*blk) from _head_blocked
                 cand_scores, cand_beam, cand_token = _candidates_from_flat(
                     logits, b, k, alive_logp, 2 * k
                 )

@@ -155,6 +155,20 @@ def make_generate_fn(models, beam_width, max_len, bos_id, eos_id, pad_id, length
                 blocked_list = [None] * len(modules)
                 blocked_vocab = None
 
+        # Fused Pallas LM head (single-model only: per-member block stats
+        # cannot be combined into ensemble logit-sum stats): the decode step
+        # returns (flat logits, block max, block sumexp) computed in one pass
+        # over the weight stream — candidate selection skips its full-logits
+        # stats pass + relayout. VILMEDIC_LMHEAD_KERNEL=0 restores the XLA
+        # blocked route.
+        if (
+            blocked_vocab is not None
+            and len(modules) == 1
+            and blocked_list[0] is not None
+            and os.environ.get("VILMEDIC_LMHEAD_KERNEL", "1") == "1"
+        ):
+            blocked_list = [tuple(blocked_list[0]) + ("stats",)]
+
         def step_fn(tokens, self_caches, index, anc=None):
             logits_sum = 0.0
             new_states = []
@@ -168,6 +182,9 @@ def make_generate_fn(models, beam_width, max_len, bos_id, eos_id, pad_id, length
                         blocked_head=blocked, **extra,
                         method=type(module).decode_step,
                     )
+                    if isinstance(logits, tuple):  # fused head: passthrough
+                        new_states.append(new_self)
+                        return logits, new_states
                     step_logits = logits  # (N, nb, 128) f32 blocks
                 else:
                     logits, new_self = module.apply(

@@ -69,8 +69,9 @@ def _kernel(h_ref, w_ref, b_ref, out_ref, bmax_ref, bsum_ref, *, tile_v: int):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("tile_v", "interpret"))
-def lm_head_blocked_stats(h, kb, bb, tile_v: int = 1024, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("tile_v", "interpret", "force_pallas"))
+def lm_head_blocked_stats(h, kb, bb, tile_v: int = 1024, interpret: bool = False,
+                          force_pallas: bool = False):
     """One fused pass: logits + per-128-block stats.
 
     h: (N, H) compute-dtype hidden states; kb: (H, Vp) padded head kernel and
@@ -79,6 +80,15 @@ def lm_head_blocked_stats(h, kb, bb, tile_v: int = 1024, interpret: bool = False
     blocks can never win selection). Returns
     ``(logits (N, Vp') f32, bmax (N, n_tiles*128) f32, bsum same)``;
     unpack the stats with :func:`unpack_stats`.
+
+    ``interpret=True`` (CPU backend) computes the same outputs with plain jnp
+    ops instead of pallas interpret mode: the production CPU path then works
+    under ``shard_map(check_vma=True)`` (interpret-mode discharge rejects any
+    in-kernel op mixing varying and replicated/literal operands), and the
+    kernel algorithm itself stays interpret-tested where no shard_map is
+    involved (tests/test_blocked_lm_head.py, via ``force_pallas=True``).
+    Kernel-vs-XLA logits bit-identity on hardware is asserted by
+    experiments/ab_lmhead_kernel.py.
     """
     n, hidden = h.shape
     vp = kb.shape[1]
@@ -88,6 +98,29 @@ def lm_head_blocked_stats(h, kb, bb, tile_v: int = 1024, interpret: bool = False
         bb = jnp.pad(bb, (0, pad), constant_values=NEG)
     vpp = vp + pad
     grid = (vpp // tile_v,)
+
+    if interpret and not force_pallas:
+        logits = jnp.matmul(h, kb, preferred_element_type=jnp.float32) + bb
+        nbt = tile_v // BLK
+        blocks = logits.reshape(n, vpp // BLK, BLK)
+        bmax = blocks.max(-1).reshape(n, vpp // tile_v, nbt)
+        bsum = jnp.sum(
+            jnp.exp(blocks - blocks.max(-1, keepdims=True)), -1
+        ).reshape(n, vpp // tile_v, nbt)
+        # pack per-tile stats into (*, 128) lane blocks exactly as the kernel
+        # writes them (first nbt lanes real, rest NEG/0)
+        bmax = jnp.pad(bmax, ((0, 0), (0, 0), (0, BLK - nbt)),
+                       constant_values=NEG).reshape(n, -1)
+        bsum = jnp.pad(bsum, ((0, 0), (0, 0), (0, BLK - nbt))).reshape(n, -1)
+        return logits, bmax, bsum
+
+    # under shard_map (the multi-device eval path) outputs must declare their
+    # varying mesh axes; inherit them from the hidden-state operand
+    try:
+        vma = jax.typeof(h).vma
+        _sds = functools.partial(jax.ShapeDtypeStruct, vma=vma)
+    except (AttributeError, TypeError):
+        _sds = jax.ShapeDtypeStruct
 
     logits, bmax, bsum = pl.pallas_call(
         functools.partial(_kernel, tile_v=tile_v),
@@ -105,9 +138,9 @@ def lm_head_blocked_stats(h, kb, bb, tile_v: int = 1024, interpret: bool = False
             pl.BlockSpec((n, BLK), lambda j: (0, j), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n, vpp), jnp.float32),
-            jax.ShapeDtypeStruct((n, (vpp // tile_v) * BLK), jnp.float32),
-            jax.ShapeDtypeStruct((n, (vpp // tile_v) * BLK), jnp.float32),
+            _sds((n, vpp), jnp.float32),
+            _sds((n, (vpp // tile_v) * BLK), jnp.float32),
+            _sds((n, (vpp // tile_v) * BLK), jnp.float32),
         ],
     )(h, kb, bb.reshape(1, -1))
     return logits, bmax, bsum
