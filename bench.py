@@ -82,6 +82,41 @@ def build_model(packed_growth=None):
     return RRGModule(enc=enc, dec_config=cfg)
 
 
+def build_vit_model():
+    """MXU fast-path recipe: ViT-base tower, same decoder (docs/performance).
+
+    DenseNet-169 (the reference's flagship backbone) is bandwidth-bound on
+    TPU: BN/concat passes over wide activations plus 32-channel growth convs
+    cap the train step near MFU ~0.25 (kernel-level packing attempt measured
+    SLOWER e2e — see blocks/vision/densenet.PackedConv3x3 and ROUND3_NOTES).
+    A ViT-base tower is the documented fast path: all FLOPs live in large
+    batched matmuls. Reported as vit_train_* alongside the flagship numbers.
+    """
+    from vilmedic_tpu.blocks.transformer import TransformerConfig
+    from vilmedic_tpu.blocks.vision.visual_encoder import VisualEncoder
+    from vilmedic_tpu.models.rrg import RRGModule
+
+    enc = VisualEncoder(
+        backbone="vit",
+        output_layer=None,
+        permute="no_permute",
+        projection_dim=768,
+        dtype=jnp.bfloat16,
+        backbone_kwargs={"pre_ln": True},
+    )
+    cfg = TransformerConfig(
+        vocab_size=VOCAB,
+        hidden_size=768,
+        num_hidden_layers=1,
+        num_attention_heads=12,
+        intermediate_size=3072,
+        max_position_embeddings=514,
+        add_cross_attention=True,
+        dtype=jnp.bfloat16,
+    )
+    return RRGModule(enc=enc, dec_config=cfg)
+
+
 def main():
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_vilmedic_tpu")
 
@@ -121,6 +156,9 @@ def main():
         blocked = make_blocked_head_weights(
             variables["params"]["dec"], module.dec_config.dtype
         )
+        if os.environ.get("VILMEDIC_LMHEAD_KERNEL", "1") == "1":
+            # fused Pallas LM head: logits + per-block stats in one pass
+            blocked = tuple(blocked) + ("stats",)
 
         def step_fn(tokens, self_cache, index, anc=None):
             logits, new_self = module.apply(
@@ -174,6 +212,14 @@ def main():
     )
     scst_samples_per_sec = bench_scst(module, variables)
 
+    vit_module = build_vit_model()
+    vit_init = jax.jit(
+        lambda key: vit_module.init({"params": key}, images, ids, mask, train=False)
+    )
+    vit_samples_per_sec, vit_mfu, _, _ = bench_train(
+        vit_module, vit_init(jax.random.key(0))
+    )
+
     print(
         json.dumps(
             {
@@ -188,6 +234,8 @@ def main():
                 "loader_train_samples_per_sec_chip": loader_samples_per_sec,
                 "host_loader_img_per_sec": host_img_per_sec,
                 "scst_samples_per_sec_chip": scst_samples_per_sec,
+                "vit_train_samples_per_sec_chip": vit_samples_per_sec,
+                "vit_train_mfu": vit_mfu,
             }
         )
     )
@@ -237,33 +285,7 @@ def bench_train(module, variables):
     args = (params, batch_stats, opt_state, images, ids, mask, jax.random.key(0))
     flops = None
     try:
-        # Model flops come from the UNPACKED densenet graph: the MXU-packed
-        # growth convs (blocks/vision/densenet.PackedConv3x3) execute 16/9
-        # the algorithmic flops as zero-weight taps, and counting those would
-        # inflate MFU. Timing below runs the packed (default) graph; flops
-        # here are the algorithm's. One extra lowering, compile-cached.
-        plain = build_model(packed_growth=False)
-
-        def plain_loss(params, batch_stats, images, ids, mask, key):
-            vs = {"params": params}
-            if batch_stats:
-                vs["batch_stats"] = batch_stats
-            out, updated = plain.apply(
-                vs, images, ids, mask, train=True, rngs={"dropout": key},
-                mutable=["batch_stats"],
-            )
-            return out["loss"], updated.get("batch_stats", {})
-
-        @jax.jit
-        def plain_step(params, batch_stats, opt_state, images, ids, mask, key):
-            (loss, new_stats), grads = jax.value_and_grad(
-                plain_loss, has_aux=True
-            )(params, batch_stats, images, ids, mask, key)
-            updates, opt_state = tx.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return params, new_stats, opt_state, loss
-
-        cost = plain_step.lower(*args).compile().cost_analysis()
+        cost = train_step.lower(*args).compile().cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
         flops = float(cost.get("flops", 0.0)) or None

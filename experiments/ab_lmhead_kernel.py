@@ -80,16 +80,38 @@ def logits_kernel(h):
     return lm_head_blocked_stats(h, kb, bb, tile_v=TILE)[0]
 
 
-def timeit(fn, args_list, label, inner=4):
-    jax.tree.map(np.asarray, [fn(*a) for a in args_list[:1]])
-    t0 = time.perf_counter()
-    outs = []
-    for _ in range(inner):
-        for a in args_list:
-            outs.append(fn(*a))
-    jax.tree.map(np.asarray, outs[-1])
-    dt = (time.perf_counter() - t0) / (inner * len(args_list))
-    print(f"{label}: {dt * 1e6:.1f} us", flush=True)
+LOOP_N = 32
+
+
+def make_loop(route):
+    """Chain LOOP_N route invocations inside ONE jitted program: per-call
+    dispatch over the axon tunnel is ~4 ms (measured), two orders above the
+    route itself, so host-side timing of individual calls is meaningless.
+    A value-preserving dependency (h += scores_sum * 0-ish) serializes the
+    iterations without changing the computation."""
+
+    @jax.jit
+    def loop(h, alive):
+        def body(i, carry):
+            h, acc = carry
+            scores, beam, tok = route(h, alive)
+            s = scores.sum()
+            h = h + (s * 1e-30).astype(h.dtype)
+            return h, acc + s
+        return jax.lax.fori_loop(0, LOOP_N, body, (h, 0.0))
+
+    return loop
+
+
+def timeit(fn, args, label, outer=3):
+    np.asarray(fn(*args)[1])  # compile + warm
+    best = float("inf")
+    for _ in range(outer):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        np.asarray(out[1])
+        best = min(best, (time.perf_counter() - t0) / LOOP_N)
+    print(f"{label}: {best * 1e6:.1f} us", flush=True)
 
 
 @jax.jit
@@ -113,8 +135,8 @@ def main():
     for name, same in zip(("scores", "beam", "token"), sel_same):
         print(f"selection {name} identical: {bool(same)}", flush=True)
 
-    timeit(route_xla, [(h, alive) for h in hs], "XLA   matmul+stats+selection")
-    timeit(route_kernel, [(h, alive) for h in hs], "KERNEL fused+selection")
+    timeit(make_loop(route_xla), (hs[0], alive), "XLA   matmul+stats+selection")
+    timeit(make_loop(route_kernel), (hs[0], alive), "KERNEL fused+selection")
 
 
 if __name__ == "__main__":

@@ -53,6 +53,7 @@ def test_densenet_packed_matches_unpacked_same_params():
 
 
 def test_make_densenet_defaults():
-    assert make_densenet("densenet121").packed_growth
+    # packed is opt-in: measured e2e slower on v5e (see make_densenet)
+    assert not make_densenet("densenet121").packed_growth
     assert not make_densenet("3d_densenet121", spatial_dims=3).packed_growth
-    assert not make_densenet("densenet121", packed_growth=False).packed_growth
+    assert make_densenet("densenet121", packed_growth=True).packed_growth

@@ -504,11 +504,11 @@ class TransformerDecoder(nn.Module):
         vocab 50k on v5e). Returns ``(logits (N, Vp), bmax (N, nb),
         bsum (N, nb))`` for beam_search's ``_candidates_from_stats``.
 
-        The kernel matmul is the same bf16 MXU contraction with f32
-        accumulation as ``_head_blocked`` (bit-identity asserted on hardware,
-        tests/test_blocked_lm_head.py); sum-exp reduction order may shift a
-        row's logsumexp by ulps, which offsets all of that row's candidates
-        equally — beam argmax choices are unaffected.
+        The kernel matmul is the same bf16 contraction with f32 accumulation
+        as ``_head_blocked`` up to K-split reduction order (measured max
+        logit delta 4.8e-7 at bench shapes on v5e): candidate scores shift by
+        ulps while the selected (beam, token) pairs matched the XLA route
+        exactly in the hardware A/B (experiments/ab_lmhead_kernel.py).
         """
         from ..ops.blocked_lm_head import lm_head_blocked_stats, unpack_stats
 

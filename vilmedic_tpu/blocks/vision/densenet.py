@@ -195,8 +195,14 @@ def make_densenet(
     growth, blocks, init = CONFIGS[name]
     if output_layer is None:
         output_layer = "features"
+    # Default OFF: the packed formulation is exact and lifts the growth convs
+    # to full MXU lanes, but measured e2e SLOWER on v5e (flagship RRG train
+    # step, batch 128: 832 vs 1008 samples/s) — the s2d/d2s relayouts around
+    # all 58 growth convs (fwd+bwd) outweigh the 4x lane win, and the
+    # non-conv BN/concat bandwidth passes dominate densenet anyway
+    # (ROUND3_NOTES). Kept as an opt-in for other shapes/generations.
     if packed_growth is None:
-        packed_growth = spatial_dims == 2
+        packed_growth = False
     return DenseNet(
         growth_rate=growth,
         block_config=blocks,

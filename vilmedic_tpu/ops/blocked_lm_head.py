@@ -26,12 +26,14 @@ The r2 ``fused_lm_head`` negative (VPU argmax-peel per tile dominating) does
 not apply here: the only in-kernel VPU work is max/exp/sum — exactly what the
 XLA stats pass already pays, minus its HBM round-trip.
 
-Exactness: the matmul is the same bf16 MXU contraction with f32 accumulation
-as ``TransformerDecoder._head_blocked`` (asserted bit-identical on hardware in
-tests/test_blocked_lm_head.py); block maxima are order-free; sum-exp may
-differ from the XLA pass by reduction-order ulps, shifting a row's logsumexp
-by <=1 ulp — this offsets every candidate of that row equally, and HF-generate
-sequence parity is re-asserted with the kernel enabled.
+Exactness: the matmul is the same bf16 contraction with f32 accumulation as
+``TransformerDecoder._head_blocked``, but XLA may split the K dimension
+differently, so logits can differ by reduction-order ulps (measured max
+4.8e-7 at bench shapes on v5e — experiments/ab_lmhead_kernel.py). Candidate
+*scores* therefore differ by ulps while the selected (beam, token) pairs
+matched exactly in the hardware A/B; HF-generate sequence parity is
+re-asserted with the kernel path enabled (tests/test_hf_parity.py, jnp
+reference path on CPU).
 """
 
 from __future__ import annotations
@@ -87,8 +89,9 @@ def lm_head_blocked_stats(h, kb, bb, tile_v: int = 1024, interpret: bool = False
     in-kernel op mixing varying and replicated/literal operands), and the
     kernel algorithm itself stays interpret-tested where no shard_map is
     involved (tests/test_blocked_lm_head.py, via ``force_pallas=True``).
-    Kernel-vs-XLA logits bit-identity on hardware is asserted by
-    experiments/ab_lmhead_kernel.py.
+    Kernel-vs-XLA numerics on hardware are checked by
+    experiments/ab_lmhead_kernel.py (selection-identical; logits within
+    reduction-order ulps).
     """
     n, hidden = h.shape
     vp = kb.shape[1]
