@@ -117,8 +117,14 @@ def build_vit_model():
     return RRGModule(enc=enc, dec_config=cfg)
 
 
+def _mark(msg):
+    # progress to STDERR (stdout is the driver's one-JSON-line contract)
+    print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
+
+
 def main():
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_vilmedic_tpu")
+    _mark(f"devices: {jax.devices()}")
 
     module = build_model()
     rng = np.random.default_rng(0)
@@ -132,6 +138,7 @@ def main():
         lambda key: module.init({"params": key}, images, ids, mask, train=False)
     )
     variables = init(jax.random.key(0))
+    _mark("init done")
 
     from vilmedic_tpu.decoding import beam_search, tile_for_beams
 
@@ -156,8 +163,9 @@ def main():
         blocked = make_blocked_head_weights(
             variables["params"]["dec"], module.dec_config.dtype
         )
-        if os.environ.get("VILMEDIC_LMHEAD_KERNEL", "1") == "1":
-            # fused Pallas LM head: logits + per-block stats in one pass
+        if os.environ.get("VILMEDIC_LMHEAD_KERNEL", "0") == "1":
+            # fused Pallas LM head (opt-in; measured 313 vs 408 rep/s here —
+            # breaks in-loop fusion, see ROUND3_NOTES)
             blocked = tuple(blocked) + ("stats",)
 
         def step_fn(tokens, self_cache, index, anc=None):
@@ -181,6 +189,7 @@ def main():
     # timings force the transfer (sequences are int32 (B, 100): transfer cost
     # is negligible vs decode).
     np.asarray(generate(variables, images))
+    _mark("generate compiled + warm")
 
     # distinct input batches so no caching layer can elide work. Steady-state
     # throughput: enqueue every batch, then force ONE device->host transfer at
@@ -203,6 +212,18 @@ def main():
     dt = (time.perf_counter() - t0) / len(batches)
 
     reports_per_sec = BATCH / dt
+    _mark(f"decode {reports_per_sec:.1f} rep/s")
+
+    if os.environ.get("BENCH_DECODE_ONLY"):  # quick decode-path A/Bs
+        print(json.dumps({
+            "metric": "rrg_reports_per_sec_chip_beam8",
+            "value": round(reports_per_sec, 3),
+            "unit": "reports/s/chip",
+            "vs_baseline": round(
+                reports_per_sec / ESTIMATED_A100_REFERENCE_REPORTS_PER_SEC, 3
+            ),
+        }))
+        return
 
     train_samples_per_sec, train_mfu, train_step, train_state = bench_train(
         module, variables
@@ -210,7 +231,9 @@ def main():
     loader_samples_per_sec, host_img_per_sec = bench_loader(
         train_step, train_state
     )
+    _mark("train+loader done")
     scst_samples_per_sec = bench_scst(module, variables)
+    _mark("scst done")
 
     vit_module = build_vit_model()
     vit_init = jax.jit(

@@ -439,6 +439,58 @@ def test_blocked_shard_map_decode_matches_unsharded():
     np.testing.assert_array_equal(seq_plain, seq_sharded)
 
 
+def test_stats_kernel_decode_matches_default_route(monkeypatch):
+    """VILMEDIC_LMHEAD_KERNEL=1 (fused LM-head stats route, opt-in after the
+    measured in-loop negative — ROUND3_NOTES) produces the same sequences as
+    the default XLA blocked route, unsharded and under shard_map."""
+    import jax
+    from vilmedic_tpu.blocks.transformer import TransformerConfig
+    from vilmedic_tpu.models.evaluation_nlg import make_generate_fn
+    from vilmedic_tpu.models.rrs import RRSModule
+    from vilmedic_tpu.parallel.mesh import get_mesh
+
+    enc_cfg = TransformerConfig(
+        vocab_size=97, hidden_size=32, num_hidden_layers=1,
+        num_attention_heads=2, intermediate_size=64,
+        max_position_embeddings=32,
+    )
+    dec_cfg = TransformerConfig(
+        vocab_size=4500, hidden_size=32, num_hidden_layers=1,
+        num_attention_heads=2, intermediate_size=64,
+        max_position_embeddings=32, add_cross_attention=True,
+    )
+    module = RRSModule(enc_config=enc_cfg, dec_config=dec_cfg)
+    rng = np.random.default_rng(3)
+    b, t = 8, 6
+    ids = jnp.asarray(rng.integers(3, 97, (b, t)), jnp.int32)
+    mask = jnp.ones((b, t), jnp.int32)
+    dec_ids = jnp.asarray(rng.integers(3, 4500, (b, 5)), jnp.int32)
+    variables = module.init(
+        jax.random.key(0), ids, mask, dec_ids, jnp.ones((b, 5), jnp.int32)
+    )
+
+    class _Shim:
+        pass
+
+    m = _Shim()
+    m.module = module
+    m.dec_config = dec_cfg
+    enc_inputs = {"input_ids": ids, "attention_mask": mask}
+    kw = dict(beam_width=3, max_len=7, bos_id=0, eos_id=1, pad_id=2,
+              length_penalty=1.0)
+
+    seq_default = np.asarray(make_generate_fn([m], **kw)([variables], enc_inputs))
+
+    monkeypatch.setenv("VILMEDIC_LMHEAD_KERNEL", "1")
+    seq_stats = np.asarray(make_generate_fn([m], **kw)([variables], enc_inputs))
+    np.testing.assert_array_equal(seq_default, seq_stats)
+
+    sharded = make_generate_fn([m], **kw, mesh=get_mesh(devices=jax.devices()))
+    np.testing.assert_array_equal(
+        seq_default, np.asarray(sharded([variables], enc_inputs))
+    )
+
+
 def test_greedy_and_sample_matches_separate_rollouts():
     """The fused 2x-batch SCST rollout (greedy rows first) must reproduce
     greedy_search + sample exactly, given the same rng."""

@@ -158,14 +158,16 @@ def make_generate_fn(models, beam_width, max_len, bos_id, eos_id, pad_id, length
         # Fused Pallas LM head (single-model only: per-member block stats
         # cannot be combined into ensemble logit-sum stats): the decode step
         # returns (flat logits, block max, block sumexp) computed in one pass
-        # over the weight stream — candidate selection skips its full-logits
-        # stats pass + relayout. VILMEDIC_LMHEAD_KERNEL=0 restores the XLA
-        # blocked route.
+        # over the weight stream. OPT-IN (VILMEDIC_LMHEAD_KERNEL=1): measured
+        # SLOWER in the production loop on v5e (313 vs 408 reports/s at the
+        # bench shapes) although ~equal standalone — the pallas_call breaks
+        # XLA's in-loop fusion/overlap of the lm_head with the rest of the
+        # step (ROUND3_NOTES).
         if (
             blocked_vocab is not None
             and len(modules) == 1
             and blocked_list[0] is not None
-            and os.environ.get("VILMEDIC_LMHEAD_KERNEL", "1") == "1"
+            and os.environ.get("VILMEDIC_LMHEAD_KERNEL", "0") == "1"
         ):
             blocked_list = [tuple(blocked_list[0]) + ("stats",)]
 
