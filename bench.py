@@ -28,7 +28,7 @@ import numpy as np
 
 ESTIMATED_A100_REFERENCE_REPORTS_PER_SEC = 5.0
 
-BATCH = int(os.environ.get("BENCH_BATCH", 32))
+BATCH = int(os.environ.get("BENCH_BATCH", 64))
 TRAIN_BATCH = int(os.environ.get("BENCH_TRAIN_BATCH", 128))
 TRAIN_LEN = 100
 MAX_LEN = 100
@@ -122,24 +122,11 @@ def _mark(msg):
     print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
 
 
-def main():
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_vilmedic_tpu")
-    _mark(f"devices: {jax.devices()}")
-
-    module = build_model()
-    rng = np.random.default_rng(0)
-    images = jnp.asarray(rng.normal(size=(BATCH, IMAGE, IMAGE, 3)), jnp.float32)
-    ids = jnp.asarray(rng.integers(3, VOCAB, (BATCH, 8)), jnp.int32)
-    mask = jnp.ones((BATCH, 8), jnp.int32)
-
-    # jit the init: op-by-op dispatch of a 169-layer conv net is minutes of
-    # per-primitive compiles; one jitted program initializes in seconds.
-    init = jax.jit(
-        lambda key: module.init({"params": key}, images, ids, mask, train=False)
-    )
-    variables = init(jax.random.key(0))
-    _mark("init done")
-
+def build_generate(module, variables, batch):
+    """Jitted flagship decode: beam-8 generate over the reorder-free kernel
+    path, parameterized by batch size (the lm_head weight stream per decode
+    step is batch-independent, so reports/s amortizes with batch — see
+    experiments/ab_decode_batch.py)."""
     from vilmedic_tpu.decoding import beam_search, tile_for_beams
 
     @jax.jit
@@ -160,12 +147,19 @@ def main():
         # reorder-free beam decode: fused Pallas ancestry attention +
         # in-place cache write (280 -> 310 reports/s vs the one-hot permute)
         self_cache = to_kernel_cache(self_cache)
-        blocked = make_blocked_head_weights(
-            variables["params"]["dec"], module.dec_config.dtype
+        # fused LM-head+stats kernel: AUTO by row count, same policy as
+        # evaluation_nlg (>= 512 rows the XLA candidate route's relayout +
+        # stats passes scale superlinearly; below, the custom-call boundary
+        # loses the in-loop fusion — ROUND3_NOTES)
+        lmhead_env = os.environ.get("VILMEDIC_LMHEAD_KERNEL", "auto")
+        use_stats = lmhead_env != "0" and (
+            lmhead_env == "1" or batch * BEAM >= 512
         )
-        if os.environ.get("VILMEDIC_LMHEAD_KERNEL", "0") == "1":
-            # fused Pallas LM head (opt-in; measured 313 vs 408 rep/s here —
-            # breaks in-loop fusion, see ROUND3_NOTES)
+        blocked = make_blocked_head_weights(
+            variables["params"]["dec"], module.dec_config.dtype,
+            tile_multiple=1024 if use_stats else None,
+        )
+        if use_stats:
             blocked = tuple(blocked) + ("stats",)
 
         def step_fn(tokens, self_cache, index, anc=None):
@@ -176,13 +170,36 @@ def main():
             )
             return logits, new_self
 
-        anc_g = max(d for d in range(1, BATCH + 1)
-                    if BATCH % d == 0 and d * BEAM <= 64)
+        anc_g = max(d for d in range(1, batch + 1)
+                    if batch % d == 0 and d * BEAM <= 64)
         return beam_search(
-            step_fn, self_cache, BATCH, BEAM, MAX_LEN, bos_id=0, eos_id=2, pad_id=1,
+            step_fn, self_cache, batch, BEAM, MAX_LEN, bos_id=0, eos_id=2, pad_id=1,
             length_penalty=1.0, blocked_vocab=VOCAB, ancestry=True,
             ancestry_group_items=anc_g,
         ).sequences
+
+    return generate
+
+
+def main():
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_vilmedic_tpu")
+    _mark(f"devices: {jax.devices()}")
+
+    module = build_model()
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.normal(size=(BATCH, IMAGE, IMAGE, 3)), jnp.float32)
+    ids = jnp.asarray(rng.integers(3, VOCAB, (BATCH, 8)), jnp.int32)
+    mask = jnp.ones((BATCH, 8), jnp.int32)
+
+    # jit the init: op-by-op dispatch of a 169-layer conv net is minutes of
+    # per-primitive compiles; one jitted program initializes in seconds.
+    init = jax.jit(
+        lambda key: module.init({"params": key}, images, ids, mask, train=False)
+    )
+    variables = init(jax.random.key(0))
+    _mark("init done")
+
+    generate = build_generate(module, variables, BATCH)
 
     # compile + warmup. NOTE: on the axon tunnel backend block_until_ready does
     # not wait for execution — a device->host transfer (np.asarray) does, so all

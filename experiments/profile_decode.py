@@ -22,6 +22,7 @@ import bench
 
 
 def main():
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_vilmedic_tpu")
     outdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/decode_trace"
     module = bench.build_model()
     rng = np.random.default_rng(0)
@@ -35,41 +36,7 @@ def main():
     )
     variables = init(jax.random.key(0))
 
-    from vilmedic_tpu.blocks.transformer import (
-        make_blocked_head_weights,
-        to_kernel_cache,
-    )
-    from vilmedic_tpu.decoding import beam_search, tile_for_beams
-
-    @jax.jit
-    def generate(variables, images):
-        enc_h, enc_m = module.apply(variables, images, method=type(module).encode)
-        self_cache, cross_cache = module.apply(
-            variables, enc_h, bench.MAX_LEN, method=type(module).init_cache
-        )
-        self_cache = tile_for_beams(self_cache, bench.BEAM)
-        cross_cache = tile_for_beams(cross_cache, bench.BEAM)
-        enc_m = tile_for_beams(enc_m.astype(jnp.int32), bench.BEAM)
-        self_cache = to_kernel_cache(self_cache)
-        blocked = make_blocked_head_weights(
-            variables["params"]["dec"], module.dec_config.dtype
-        )
-
-        def step_fn(tokens, self_cache, index, anc=None):
-            logits, new_self = module.apply(
-                variables, tokens, self_cache, cross_cache, enc_m, index,
-                blocked_head=blocked, ancestry=anc,
-                method=type(module).decode_step,
-            )
-            return logits, new_self
-
-        anc_g = max(d for d in range(1, bench.BATCH + 1)
-                    if bench.BATCH % d == 0 and d * bench.BEAM <= 64)
-        return beam_search(
-            step_fn, self_cache, bench.BATCH, bench.BEAM, bench.MAX_LEN,
-            bos_id=0, eos_id=2, pad_id=1, length_penalty=1.0,
-            blocked_vocab=bench.VOCAB, ancestry=True, ancestry_group_items=anc_g,
-        ).sequences
+    generate = bench.build_generate(module, variables, bench.BATCH)
 
     np.asarray(generate(variables, images))  # compile
     t0 = time.perf_counter()

@@ -80,17 +80,26 @@ class TransformerConfig:
         return self.hidden_size // self.num_attention_heads
 
 
-def make_blocked_head_weights(dec_params, dtype, block: int = 128):
+def make_blocked_head_weights(dec_params, dtype, block: int = 128,
+                              tile_multiple: int = None):
     """Pad the LM head to a multiple of ``block`` output columns, ONCE.
 
     Returns ``(kernel (H, nb*block) dtype, bias (nb*block,) dtype)`` with padded
     kernel columns at 0 and padded bias lanes at -1e30, for
     ``TransformerDecoder._head_blocked``. Build this outside the decode loop
     and close over it so it enters ``lax.while_loop`` as an invariant.
+
+    ``tile_multiple`` additionally pads to a multiple of the fused stats
+    kernel's vocab tile (ops/blocked_lm_head) — done HERE so the pad is a
+    loop invariant: padding inside the decode body costs a measured
+    ~100 us/step of pure HBM traffic at vocab 50k on v5e (the while body
+    re-pads the 77 MB weight matrix every step; XLA does not hoist it).
     """
     kernel = dec_params["lm_head"]["kernel"]
     bias = dec_params["lm_head"]["bias"]
     v = kernel.shape[1]
+    if tile_multiple:
+        block = max(block, tile_multiple)
     nb = -(-v // block)
     pad = nb * block - v
     kb = jnp.pad(kernel, ((0, 0), (0, pad))).astype(dtype)
@@ -495,7 +504,7 @@ class TransformerDecoder(nn.Module):
         nb = out.shape[-1] // block
         return out.reshape(out.shape[0], nb, block)
 
-    def _head_blocked_stats(self, h, blocked_weights, tile_v: int = 1024):
+    def _head_blocked_stats(self, h, blocked_weights, tile_v: int = None):
         """LM head through the fused Pallas kernel (ops/blocked_lm_head):
         one pass over the weight stream emits flat padded f32 logits PLUS the
         per-128-block max / sum-exp the beam candidate selection needs —
@@ -510,14 +519,21 @@ class TransformerDecoder(nn.Module):
         ulps while the selected (beam, token) pairs matched the XLA route
         exactly in the hardware A/B (experiments/ab_lmhead_kernel.py).
         """
-        from ..ops.blocked_lm_head import lm_head_blocked_stats, unpack_stats
+        from ..ops.blocked_lm_head import (
+            lm_head_blocked_stats,
+            pick_tile_v,
+            unpack_stats,
+        )
 
         cfg = self.config
         if cfg.lm_head_transform:
             h = self.lm_transform_ln(nn.gelu(self.lm_transform(h), approximate=False))
         kb, bb = blocked_weights
+        h2 = h.reshape(-1, kb.shape[0]).astype(cfg.dtype)
+        if tile_v is None:  # VMEM-budgeted: narrows as the row count grows
+            tile_v = pick_tile_v(h2.shape[0], kb.shape[0])
         logits, bmax_p, bsum_p = lm_head_blocked_stats(
-            h.reshape(-1, kb.shape[0]).astype(cfg.dtype), kb, bb,
+            h2, kb, bb,
             tile_v=tile_v, interpret=jax.default_backend() == "cpu",
         )
         return logits, unpack_stats(bmax_p, tile_v), unpack_stats(bsum_p, tile_v)

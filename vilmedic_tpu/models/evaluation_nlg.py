@@ -139,6 +139,25 @@ def make_generate_fn(models, beam_width, max_len, bos_id, eos_id, pad_id, length
             # beam_search.py:312-319 — here only the self cache moves).
             invariants.append((cross_cache, enc_m))
 
+        # Fused Pallas LM head (single-model only: per-member block stats
+        # cannot be combined into ensemble logit-sum stats): the decode step
+        # returns (flat logits, block max, block sumexp) computed in one pass
+        # over the weight stream. AUTO by row count (override with
+        # VILMEDIC_LMHEAD_KERNEL=0/1): at batch*beam >= 512 rows the XLA
+        # candidate route's full-logits relayout + stats reductions scale
+        # superlinearly and the kernel route wins (v5e, beam 8, vocab 50k:
+        # 428.7 vs 354.4 rep/s at batch 64; 367 vs 298 at batch 128), while
+        # below that the pallas_call's fusion-boundary cost dominates
+        # (313 vs 408 at batch 32) — ROUND3_NOTES.
+        lmhead_env = os.environ.get("VILMEDIC_LMHEAD_KERNEL", "auto")
+        rows = batch_size * tiling
+        use_stats_head = (
+            use_blocked_vocab is not None
+            and len(modules) == 1
+            and lmhead_env != "0"
+            and (lmhead_env == "1" or rows >= 512)
+        )
+
         blocked_list = [None] * len(modules)
         blocked_vocab = use_blocked_vocab
         if blocked_vocab is not None:
@@ -147,7 +166,11 @@ def make_generate_fn(models, beam_width, max_len, bos_id, eos_id, pad_id, length
             try:
                 blocked_list = [
                     make_blocked_head_weights(
-                        variables["params"]["dec"], model.dec_config.dtype
+                        variables["params"]["dec"], model.dec_config.dtype,
+                        # stats route: pad to the kernel's max vocab tile HERE
+                        # so no per-step pad lands in the decode loop
+                        # (measured ~100 us/step at vocab 50k on v5e)
+                        tile_multiple=1024 if use_stats_head else None,
                     )
                     for model, variables in zip(models, variables_list)
                 ]
@@ -155,20 +178,7 @@ def make_generate_fn(models, beam_width, max_len, bos_id, eos_id, pad_id, length
                 blocked_list = [None] * len(modules)
                 blocked_vocab = None
 
-        # Fused Pallas LM head (single-model only: per-member block stats
-        # cannot be combined into ensemble logit-sum stats): the decode step
-        # returns (flat logits, block max, block sumexp) computed in one pass
-        # over the weight stream. OPT-IN (VILMEDIC_LMHEAD_KERNEL=1): measured
-        # SLOWER in the production loop on v5e (313 vs 408 reports/s at the
-        # bench shapes) although ~equal standalone — the pallas_call breaks
-        # XLA's in-loop fusion/overlap of the lm_head with the rest of the
-        # step (ROUND3_NOTES).
-        if (
-            blocked_vocab is not None
-            and len(modules) == 1
-            and blocked_list[0] is not None
-            and os.environ.get("VILMEDIC_LMHEAD_KERNEL", "0") == "1"
-        ):
+        if use_stats_head and blocked_list[0] is not None:
             blocked_list = [tuple(blocked_list[0]) + ("stats",)]
 
         def step_fn(tokens, self_caches, index, anc=None):

@@ -41,10 +41,17 @@ This Pallas kernel owns the whole problem:
   ``t >= idx`` is masked off by the ancestry mask, so whichever bytes the
   overlapping DMA observes are multiplied into exp(NEG_INF) — the overlap is
   benign by masking, not by ordering.
-- The (group, head-pair) loop is fully unrolled at trace time: every slab DMA
-  and vector slice has static offsets (this toolchain's Mosaic cannot prove
-  alignment of loop-carried dynamic offsets); slabs are double-buffered so
-  the next iteration's K/V DMAs overlap the current compute.
+- Item-groups are GRID steps (one per group) with per-group VMEM blocks for
+  q/k_new/v_new/bias/output — Mosaic pipelines the blocks across steps and
+  VMEM residency stays batch-independent (the pre-grid form held the full
+  batch + the whole flat ancestry mask in VMEM: scoped-VMEM OOM at batch 128,
+  degraded slab double-buffering at batch 64). The caches are viewed as
+  (T, groups, rows, H*D) — a pure bitcast for rows % 8 == 0 — so the group
+  index lands on an untiled dim. Within a group the head-pair loop is fully
+  unrolled at trace time: every slab DMA and vector slice has static offsets
+  (this toolchain's Mosaic cannot prove alignment of loop-carried dynamic
+  offsets); slabs are double-buffered so the next head-pair's K/V DMAs
+  overlap the current compute.
 
 ``make_ancestry_mask`` builds the dense 0/1 mask from the per-step ancestry
 one-hot; ``fused_beam_cache_attention`` runs the kernel (interpret mode on
@@ -87,10 +94,17 @@ def make_ancestry_mask(ancestry, g: int):
 def _kernel(idx_ref, kc_hbm, vc_hbm, q_ref, knew_ref, vnew_ref, bias_ref,
             kc_out, vc_out, o_ref,
             kbuf, vbuf, m_ref, l_ref, acc_ref, load_sems, store_sems,
-            *, groups: int, rows: int, t: int, d: int, hd: int, tchunk: int):
+            *, rows: int, t: int, d: int, hd: int, tchunk: int):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    # One grid step per item-group: q/k_new/v_new/bias/o arrive as per-group
+    # VMEM blocks (pipelined by Mosaic across grid steps), the caches stay in
+    # HBM as (T, groups, rows, H*D) and are sliced here by group index. VMEM
+    # residency is therefore batch-INDEPENDENT — the pre-grid version held the
+    # full (N, ·) operands and the whole flat ancestry mask in VMEM, which
+    # overflowed scoped VMEM at batch 128 and degraded pipelining at batch 64.
+    gi = pl.program_id(0)
     idx = idx_ref[0]
     scale = d ** -0.5
     hpb = LANE // d  # heads per 128-lane block
@@ -103,39 +117,36 @@ def _kernel(idx_ref, kc_hbm, vc_hbm, q_ref, knew_ref, vnew_ref, bias_ref,
 
     # ---- in-place cache writes (start first; this step's lane is analytic,
     # so nothing below reads position idx) --------------------------------
-    kst = pltpu.make_async_copy(knew_ref, kc_out.at[idx], store_sems.at[0])
-    vst = pltpu.make_async_copy(vnew_ref, vc_out.at[idx], store_sems.at[1])
+    kst = pltpu.make_async_copy(knew_ref, kc_out.at[idx, gi], store_sems.at[0])
+    vst = pltpu.make_async_copy(vnew_ref, vc_out.at[idx, gi], store_sems.at[1])
     kst.start()
     vst.start()
 
-    steps = [(gi, hp) for gi in range(groups) for hp in range(n_blocks)]
-
-    def _chunk_copies(it, tc, slot):
-        gi, hp = steps[it]
-        r0, c0, t0 = gi * rows, hp * LANE, tc * tchunk
+    def _chunk_copies(hp, tc, slot):
+        c0, t0 = hp * LANE, tc * tchunk
         return (
             pltpu.make_async_copy(
-                kc_hbm.at[t0:t0 + tchunk, r0:r0 + rows, c0:c0 + LANE],
+                kc_hbm.at[t0:t0 + tchunk, gi, :, c0:c0 + LANE],
                 kbuf.at[slot, t0:t0 + tchunk], load_sems.at[slot, 0],
             ),
             pltpu.make_async_copy(
-                vc_hbm.at[t0:t0 + tchunk, r0:r0 + rows, c0:c0 + LANE],
+                vc_hbm.at[t0:t0 + tchunk, gi, :, c0:c0 + LANE],
                 vbuf.at[slot, t0:t0 + tchunk], load_sems.at[slot, 1],
             ),
         )
 
-    def start_live(it, slot):
+    def start_live(hp, slot):
         for tc in range(n_chunks):
             @pl.when(tc < n_live)
-            def _(it=it, tc=tc, slot=slot):
-                for c in _chunk_copies(it, tc, slot):
+            def _(hp=hp, tc=tc, slot=slot):
+                for c in _chunk_copies(hp, tc, slot):
                     c.start()
 
-    def wait_live(it, slot):
+    def wait_live(hp, slot):
         for tc in range(n_chunks):
             @pl.when(tc < n_live)
-            def _(it=it, tc=tc, slot=slot):
-                for c in _chunk_copies(it, tc, slot):
+            def _(hp=hp, tc=tc, slot=slot):
+                for c in _chunk_copies(hp, tc, slot):
                     c.wait()
 
     start_live(0, 0)
@@ -143,16 +154,16 @@ def _kernel(idx_ref, kc_hbm, vc_hbm, q_ref, knew_ref, vnew_ref, bias_ref,
     rows2 = hpb * rows
     ccols = tchunk * rows  # a 128-multiple — asserted in fused_beam_cache_attention
 
-    for it, (gi, hp) in enumerate(steps):
-        slot = it % 2
-        if it + 1 < len(steps):
-            start_live(it + 1, (it + 1) % 2)
-        wait_live(it, slot)
-        r0, c0 = gi * rows, hp * LANE
+    for hp in range(n_blocks):
+        slot = hp % 2
+        if hp + 1 < n_blocks:
+            start_live(hp + 1, (hp + 1) % 2)
+        wait_live(hp, slot)
+        c0 = hp * LANE
 
-        q2 = q_ref[r0:r0 + rows, c0:c0 + LANE].astype(jnp.float32) * scale
-        kn2 = knew_ref[r0:r0 + rows, c0:c0 + LANE].astype(jnp.float32)
-        vn2 = vnew_ref[r0:r0 + rows, c0:c0 + LANE].astype(jnp.float32)
+        q2 = q_ref[:, c0:c0 + LANE].astype(jnp.float32) * scale
+        kn2 = knew_ref[:, c0:c0 + LANE].astype(jnp.float32)
+        vn2 = vnew_ref[:, c0:c0 + LANE].astype(jnp.float32)
 
         # Both heads of the pair ride ONE matmul as extra rows: lane-masked
         # queries keep per-head contractions exact (the other head's lanes
@@ -177,7 +188,7 @@ def _kernel(idx_ref, kc_hbm, vc_hbm, q_ref, knew_ref, vnew_ref, bias_ref,
         q_dot = q_all.astype(kbuf.dtype)
         for tc in range(n_chunks):
             @pl.when(tc < n_live)
-            def _(tc=tc, slot=slot, gi=gi):
+            def _(tc=tc, slot=slot):
                 kc_chunk = kbuf[slot, tc * tchunk:(tc + 1) * tchunk].reshape(
                     ccols, LANE
                 )
@@ -190,7 +201,7 @@ def _kernel(idx_ref, kc_hbm, vc_hbm, q_ref, knew_ref, vnew_ref, bias_ref,
                 )  # (rows2, ccols)
                 # bias_ref is the 0/1 ancestry mask; kept lanes get exactly
                 # +0.0 ((1-1)*1e9), the rest NEG_INF — value-preserving
-                b_ = (bias_ref[gi, :, tc * ccols:(tc + 1) * ccols].astype(
+                b_ = (bias_ref[0, :, tc * ccols:(tc + 1) * ccols].astype(
                     jnp.float32
                 ) - 1.0) * (-NEG_INF)
                 s = s + jnp.concatenate([b_] * hpb, axis=0)
@@ -213,10 +224,10 @@ def _kernel(idx_ref, kc_hbm, vc_hbm, q_ref, knew_ref, vnew_ref, bias_ref,
             out_pair = jnp.where(
                 masks[hi], oh[hi * rows:(hi + 1) * rows], out_pair
             )
-        o_ref[r0:r0 + rows, c0:c0 + LANE] = out_pair.astype(o_ref.dtype)
+        o_ref[:, c0:c0 + LANE] = out_pair.astype(o_ref.dtype)
 
-    pltpu.make_async_copy(knew_ref, kc_out.at[idx], store_sems.at[0]).wait()
-    pltpu.make_async_copy(vnew_ref, vc_out.at[idx], store_sems.at[1]).wait()
+    pltpu.make_async_copy(knew_ref, kc_out.at[idx, gi], store_sems.at[0]).wait()
+    pltpu.make_async_copy(vnew_ref, vc_out.at[idx, gi], store_sems.at[1]).wait()
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -251,8 +262,13 @@ def fused_beam_cache_attention(kc, vc, q, k_new, v_new, bias, index,
     # interpret mode (CPU tests) has no tiling constraint
     assert interpret or (tchunk * rows) % LANE == 0, (tchunk, rows)
 
+    # rows must keep the (T, groups, rows, hd) cache view a pure bitcast of
+    # (T, N, hd): the tiled minor pair (·, hd) is unchanged and the sublane
+    # split N -> groups*rows is tile-aligned when rows % 8 == 0
+    assert interpret or rows % 8 == 0, rows
+
     kernel = functools.partial(
-        _kernel, groups=groups, rows=rows, t=t, d=d, hd=hd, tchunk=tchunk,
+        _kernel, rows=rows, t=t, d=d, hd=hd, tchunk=tchunk,
     )
     # under shard_map (the multi-device eval path) outputs must declare their
     # varying mesh axes; inherit them from the cache operand
@@ -261,27 +277,32 @@ def fused_beam_cache_attention(kc, vc, q, k_new, v_new, bias, index,
         _sds = lambda shape, dtype: jax.ShapeDtypeStruct(shape, dtype, vma=vma)
     except (AttributeError, TypeError):
         _sds = jax.ShapeDtypeStruct
+    kc4 = kc.reshape(t, groups, rows, hd)
+    vc4 = vc.reshape(t, groups, rows, hd)
     out_shape = [
-        _sds(kc.shape, kc.dtype),
-        _sds(vc.shape, vc.dtype),
+        _sds(kc4.shape, kc.dtype),
+        _sds(vc4.shape, vc.dtype),
         _sds((n, hd), jnp.float32),
     ]
     idx_arr = jnp.reshape(index, (1,)).astype(jnp.int32)
+    # one grid step per item-group; per-group operand/output blocks are
+    # pipelined by Mosaic, so VMEM residency does not scale with batch
+    _rowblk = lambda gi, idx: (gi, 0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(1,),
+        grid=(groups,),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # kc
+            pl.BlockSpec(memory_space=pl.ANY),  # kc (T, G, rows, hd) in HBM
             pl.BlockSpec(memory_space=pl.ANY),  # vc
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # q
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # k_new
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # v_new
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # bias
+            pl.BlockSpec((rows, hd), _rowblk),  # q
+            pl.BlockSpec((rows, hd), _rowblk),  # k_new
+            pl.BlockSpec((rows, hd), _rowblk),  # v_new
+            pl.BlockSpec((1, rows, t * rows), lambda gi, idx: (gi, 0, 0)),  # bias
         ],
         out_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, hd), _rowblk),
         ],
         scratch_shapes=[
             pltpu.VMEM((2, t, rows, LANE), kc.dtype),  # kbuf
@@ -299,6 +320,7 @@ def fused_beam_cache_attention(kc, vc, q, k_new, v_new, bias, index,
         out_shape=out_shape,
         input_output_aliases={1: 0, 2: 1},  # kc->kc_out, vc->vc_out
         interpret=interpret,
-    )(idx_arr, kc, vc, q.reshape(n, hd), k_new.reshape(n, hd),
+    )(idx_arr, kc4, vc4, q.reshape(n, hd), k_new.reshape(n, hd),
       v_new.reshape(n, hd), bias)
-    return out.reshape(n, heads, d), kc_out, vc_out
+    return (out.reshape(n, heads, d), kc_out.reshape(t, n, hd),
+            vc_out.reshape(t, n, hd))

@@ -71,6 +71,22 @@ def _kernel(h_ref, w_ref, b_ref, out_ref, bmax_ref, bsum_ref, *, tile_v: int):
     )
 
 
+def pick_tile_v(n: int, hidden: int, budget_bytes: int = 10 << 20) -> int:
+    """Largest vocab tile whose double-buffered VMEM working set fits.
+
+    Per grid step the kernel holds the (n, tile_v) f32 logits block, the
+    (hidden, tile_v) bf16 weight block (both double-buffered by Mosaic) and
+    the (n, hidden) bf16 hidden block; at n = 1024 rows a 1024-wide tile
+    overflows the 16 MB scoped-VMEM limit (measured on v5e), so the tile
+    narrows as the row count grows.
+    """
+    for tile in (1024, 512, 256, 128):
+        need = 2 * (n * tile * 4 + hidden * tile * 2) + n * hidden * 2
+        if need <= budget_bytes:
+            return tile
+    return 128
+
+
 @functools.partial(jax.jit, static_argnames=("tile_v", "interpret", "force_pallas"))
 def lm_head_blocked_stats(h, kb, bb, tile_v: int = 1024, interpret: bool = False,
                           force_pallas: bool = False):
