@@ -137,11 +137,20 @@ def compute_green(response: str,
     return matched_findings / (matched_findings + sum(sig_errors))
 
 
+def _chat_wrap(prompt: str) -> str:
+    """The judge chat framing (reference green.py:40 chat template's
+    user-turn + generation-prompt shape) — shared by both backends."""
+    return f"<|user|>\n{prompt}\n<|assistant|>"
+
+
 class GREENImpl:
     """``__call__(refs, hyps) -> (mean_green, per_pair_scores)`` with the
     global memo cache. ``judge_fn`` is injectable for tests: a callable
-    ``List[prompt] -> List[response_text]``; by default a locally cached HF
-    causal LM generates the judgments."""
+    ``List[prompt] -> List[response_text]``; by default a locally provided
+    causal LM generates the judgments — on the TPU via the Flax LLaMA serving
+    path (``blocks/llm``, sharded over all local devices) when running on a
+    TPU backend with a local checkpoint dir, host torch otherwise
+    (``VILMEDIC_GREEN_BACKEND=tpu|torch`` overrides)."""
 
     def __init__(self, model_name: str = "StanfordAIMI/GREEN-radllama2-7b",
                  judge_fn=None, max_length: int = 2048, batch_size: int = 4,
@@ -158,7 +167,16 @@ class GREENImpl:
                     "GREEN judge weights unavailable: set GREEN_MODEL to a "
                     "local HF causal-LM directory or cache the checkpoint"
                 )
-            judge_fn = self._hf_judge(model_name, max_length, batch_size)
+            backend = os.environ.get("VILMEDIC_GREEN_BACKEND", "auto")
+            if backend == "auto":
+                import jax
+
+                backend = ("tpu" if jax.default_backend() != "cpu"
+                           and os.path.isdir(model_name) else "torch")
+            if backend == "tpu":
+                judge_fn = self._tpu_judge(model_name, max_length, batch_size)
+            else:
+                judge_fn = self._hf_judge(model_name, max_length, batch_size)
         self.judge_fn = judge_fn
 
     @staticmethod
@@ -179,7 +197,7 @@ class GREENImpl:
         def judge(prompts: List[str]) -> List[str]:
             outs = []
             for start in range(0, len(prompts), batch_size):
-                chunk = [f"<|user|>\n{p}\n<|assistant|>"
+                chunk = [_chat_wrap(p)
                          for p in prompts[start: start + batch_size]]
                 enc = tokenizer(chunk, return_tensors="pt", padding=True,
                                 truncation=True, max_length=max_length)
@@ -194,6 +212,97 @@ class GREENImpl:
                     )
                 for g in tokenizer.batch_decode(gen, skip_special_tokens=True):
                     outs.append(g.split("<|assistant|>")[-1])
+            return outs
+
+        return judge
+
+    @staticmethod
+    def _tpu_judge(model_dir: str, max_length: int, batch_size: int,
+                   tokenizer=None, max_new_tokens: Optional[int] = None):
+        """Batched greedy decoding of the judge on the JAX backend.
+
+        The checkpoint converts once (zoo/convert_llm.load_hf_llama) into the
+        Flax LLaMA (blocks/llm); params are tensor-parallel-sharded over ALL
+        local devices (Megatron layout, llama_param_shardings) so a 7B judge
+        fits a v5e slice. Prompts are left-padded into (fixed batch, 128-
+        multiple length) buckets to bound recompiles; generation returns only
+        the new tokens, so decoded text is directly the judge response.
+        ``tokenizer`` is injectable for tests.
+        """
+        import jax
+        import numpy as _np
+
+        from vilmedic_tpu.blocks.llm import (
+            LlamaForCausalLM,
+            greedy_generate,
+            llama_param_shardings,
+        )
+        from vilmedic_tpu.zoo.convert_llm import load_hf_llama
+
+        if tokenizer is None:
+            from transformers import AutoTokenizer
+
+            tokenizer = AutoTokenizer.from_pretrained(
+                model_dir, local_files_only=True, padding_side="left"
+            )
+            if tokenizer.pad_token is None:
+                tokenizer.pad_token = tokenizer.eos_token
+
+        cfg, raw = load_hf_llama(model_dir)
+        model = LlamaForCausalLM(cfg)
+        params = {"params": raw}
+        devs = jax.devices()
+        if len(devs) > 1:
+            mesh = jax.sharding.Mesh(_np.array(devs), ("model",))
+            params = jax.device_put(params, llama_param_shardings(params, mesh))
+        else:
+            params = jax.device_put(params)
+
+        # max_new_tokens (not max_length) leaves generation headroom after a
+        # truncated prompt — same contract as the torch backend
+        max_new = max_new_tokens or min(1024, max_length)
+        eos = tokenizer.eos_token_id
+        pad = tokenizer.pad_token_id if tokenizer.pad_token_id is not None else eos
+        gen_cache = {}
+
+        def gen_for(p_len):
+            fn = gen_cache.get(p_len)
+            if fn is None:
+                fn = jax.jit(
+                    lambda pr, ids, m: greedy_generate(
+                        model, pr, ids, m, max_new, eos, pad
+                    )
+                )
+                gen_cache[p_len] = fn
+            return fn
+
+        def judge(prompts: List[str]) -> List[str]:
+            outs = []
+            for start in range(0, len(prompts), batch_size):
+                chunk = [_chat_wrap(p)
+                         for p in prompts[start: start + batch_size]]
+                enc = tokenizer(chunk, padding=True, truncation=True,
+                                max_length=max_length, return_tensors="np")
+                ids = enc["input_ids"].astype(_np.int32)
+                mask = enc["attention_mask"].astype(_np.int32)
+                n = ids.shape[0]
+                # bucket: prompt length to a 128-multiple (extra LEFT pad),
+                # batch to the fixed batch_size (duplicate row 0, sliced off)
+                p_len = max(128, -(-ids.shape[1] // 128) * 128)
+                lpad = p_len - ids.shape[1]
+                ids = _np.pad(ids, ((0, 0), (lpad, 0)),
+                              constant_values=pad)
+                mask = _np.pad(mask, ((0, 0), (lpad, 0)))
+                if n < batch_size:
+                    reps = [ids[:1]] * (batch_size - n)
+                    ids = _np.concatenate([ids] + reps, 0)
+                    mask = _np.concatenate(
+                        [mask] + [mask[:1]] * (batch_size - n), 0
+                    )
+                toks = _np.asarray(gen_for(p_len)(params, ids, mask))[:n]
+                outs.extend(
+                    tokenizer.batch_decode(toks, skip_special_tokens=True)
+                )
             return outs
 
         return judge
