@@ -156,8 +156,7 @@ def build_generate(module, variables, batch):
             lmhead_env == "1" or batch * BEAM >= 512
         )
         blocked = make_blocked_head_weights(
-            variables["params"]["dec"], module.dec_config.dtype,
-            tile_multiple=1024 if use_stats else None,
+            variables["params"]["dec"], module.dec_config.dtype
         )
         if use_stats:
             blocked = tuple(blocked) + ("stats",)

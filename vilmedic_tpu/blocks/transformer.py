@@ -80,8 +80,7 @@ class TransformerConfig:
         return self.hidden_size // self.num_attention_heads
 
 
-def make_blocked_head_weights(dec_params, dtype, block: int = 128,
-                              tile_multiple: int = None):
+def make_blocked_head_weights(dec_params, dtype, block: int = 128):
     """Pad the LM head to a multiple of ``block`` output columns, ONCE.
 
     Returns ``(kernel (H, nb*block) dtype, bias (nb*block,) dtype)`` with padded
@@ -89,17 +88,17 @@ def make_blocked_head_weights(dec_params, dtype, block: int = 128,
     ``TransformerDecoder._head_blocked``. Build this outside the decode loop
     and close over it so it enters ``lax.while_loop`` as an invariant.
 
-    ``tile_multiple`` additionally pads to a multiple of the fused stats
-    kernel's vocab tile (ops/blocked_lm_head) — done HERE so the pad is a
-    loop invariant: padding inside the decode body costs a measured
-    ~100 us/step of pure HBM traffic at vocab 50k on v5e (the while body
-    re-pads the 77 MB weight matrix every step; XLA does not hoist it).
+    Measured NEGATIVE (v5e, beam 8, batch 64, vocab 50k — ROUND3_NOTES): on
+    the fused stats-kernel route do NOT pre-pad here to the kernel's 1024
+    vocab tile. The stats kernel's own in-loop pad of the weight matrix
+    profiles at ~100 us/step, yet removing it by pre-padding LOST 7% e2e
+    (395 vs 424 rep/s) — the freshly padded per-step copy materializes in the
+    pallas operand's layout, while the loop-invariant pre-padded buffer gets
+    relayouted at the custom-call boundary every step instead.
     """
     kernel = dec_params["lm_head"]["kernel"]
     bias = dec_params["lm_head"]["bias"]
     v = kernel.shape[1]
-    if tile_multiple:
-        block = max(block, tile_multiple)
     nb = -(-v // block)
     pad = nb * block - v
     kb = jnp.pad(kernel, ((0, 0), (0, pad))).astype(dtype)

@@ -166,11 +166,7 @@ def make_generate_fn(models, beam_width, max_len, bos_id, eos_id, pad_id, length
             try:
                 blocked_list = [
                     make_blocked_head_weights(
-                        variables["params"]["dec"], model.dec_config.dtype,
-                        # stats route: pad to the kernel's max vocab tile HERE
-                        # so no per-step pad lands in the decode loop
-                        # (measured ~100 us/step at vocab 50k on v5e)
-                        tile_multiple=1024 if use_stats_head else None,
+                        variables["params"]["dec"], model.dec_config.dtype
                     )
                     for model, variables in zip(models, variables_list)
                 ]
