@@ -28,7 +28,7 @@ import numpy as np
 
 ESTIMATED_A100_REFERENCE_REPORTS_PER_SEC = 5.0
 
-BATCH = int(os.environ.get("BENCH_BATCH", 64))
+BATCH = int(os.environ.get("BENCH_BATCH", 128))
 TRAIN_BATCH = int(os.environ.get("BENCH_TRAIN_BATCH", 128))
 TRAIN_LEN = 100
 MAX_LEN = 100
@@ -135,9 +135,10 @@ def build_generate(module, variables, batch):
         self_cache, cross_cache = module.apply(
             variables, enc_h, MAX_LEN, method=type(module).init_cache
         )
+        # only the self cache tiles: cross K/V + mask stay at batch B and the
+        # cross-attention folds beams into its query axis (beam-shared path)
         self_cache = tile_for_beams(self_cache, BEAM)
-        cross_cache = tile_for_beams(cross_cache, BEAM)
-        enc_m = tile_for_beams(enc_m.astype(jnp.int32), BEAM)
+        enc_m = enc_m.astype(jnp.int32)
 
         from vilmedic_tpu.blocks.transformer import (
             make_blocked_head_weights,

@@ -191,6 +191,26 @@ class MultiHeadAttention(nn.Module):
                 k, v = cache["k"], cache["v"]
             else:
                 k, v = self.kv(kv_input)
+            if cache is not None and k.shape[0] != q.shape[0]:
+                # Beam-shared cross cache: the K/V (and bias) stay at batch
+                # size B while queries arrive beam-tiled (N = B*k rows,
+                # beam-major within item, single token). All beams of an item
+                # attend to the SAME memory, so fold the beam axis into the
+                # query-time axis instead of tiling the cache — tiling it made
+                # XLA sink the repeat INTO the decode loop and rematerialize +
+                # read a (N, S, H, D) cross K/V every step (~150 us/step at
+                # bench shapes on v5e; profile in ROUND3_NOTES).
+                b = k.shape[0]
+                fold = q.shape[0] // b
+                assert q.shape[0] == b * fold and q.shape[1] == 1, (
+                    q.shape, k.shape
+                )
+                q2 = q.reshape(b, fold, *q.shape[2:])
+                out = dot_product_attention(
+                    q2, k, v, bias=bias, dtype=self.config.dtype
+                )
+                out = out.reshape(q.shape[0], 1, self.config.hidden_size)
+                return self.o_proj(out), None
         else:
             k_new = self._split(self.k_proj(x))
             v_new = self._split(self.v_proj(x))

@@ -126,9 +126,13 @@ def make_generate_fn(models, beam_width, max_len, bos_id, eos_id, pad_id, length
             )
             enc_m = enc_m.astype(jnp.int32)
             if tiling > 1:
+                # only the self cache tiles to B*beam rows: cross K/V and the
+                # encoder mask stay at batch size B and the cross-attention
+                # folds the beam axis into its query axis (MultiHeadAttention
+                # beam-shared path) — tiling them made XLA sink the repeat
+                # into the decode loop and rematerialize + read a beam-tiled
+                # cross K/V every step (~150 us/step at bench shapes, v5e)
                 self_cache = tile_for_beams(self_cache, tiling)
-                cross_cache = tile_for_beams(cross_cache, tiling)
-                enc_m = tile_for_beams(enc_m, tiling)
             if use_kernel_cache:
                 from ..blocks.transformer import to_kernel_cache
 
@@ -146,9 +150,10 @@ def make_generate_fn(models, beam_width, max_len, bos_id, eos_id, pad_id, length
         # VILMEDIC_LMHEAD_KERNEL=0/1): at batch*beam >= 512 rows the XLA
         # candidate route's full-logits relayout + stats reductions scale
         # superlinearly and the kernel route wins (v5e, beam 8, vocab 50k:
-        # 428.7 vs 354.4 rep/s at batch 64; 367 vs 298 at batch 128), while
-        # below that the pallas_call's fusion-boundary cost dominates
-        # (313 vs 408 at batch 32) — ROUND3_NOTES.
+        # beam-shared cross-attn build: kernel 402 vs XLA 374 rep/s at batch
+        # 64, 430 vs 334 at batch 128), while below that the pallas_call's
+        # fusion-boundary cost dominates (327 vs 428 at batch 32) —
+        # ROUND3_NOTES.
         lmhead_env = os.environ.get("VILMEDIC_LMHEAD_KERNEL", "auto")
         rows = batch_size * tiling
         use_stats_head = (
