@@ -37,7 +37,7 @@ def data():
 def test_logits_and_stats_match_xla(data):
     h, kb, bb, _ = data
     tile_v = 256
-    logits, bmax_p, bsum_p = lm_head_blocked_stats(
+    logits3, bmax_p, bsum_p = lm_head_blocked_stats(
         h, kb, bb, tile_v=tile_v, interpret=True, force_pallas=True
     )
     bmax = unpack_stats(bmax_p, tile_v)
@@ -47,7 +47,9 @@ def test_logits_and_stats_match_xla(data):
         jnp.matmul(h, kb, preferred_element_type=jnp.float32) + bb
     )
     vp = want.shape[1]
-    np.testing.assert_allclose(np.asarray(logits)[:, :vp], want, rtol=1e-6)
+    # block-major (nb, N, 128) -> flat (N, nb*128) for comparison
+    logits = np.transpose(np.asarray(logits3), (1, 0, 2)).reshape(N, -1)
+    np.testing.assert_allclose(logits[:, :vp], want, rtol=1e-6)
     xp = want.reshape(N, NB, BLK)
     np.testing.assert_allclose(np.asarray(bmax)[:, :NB], xp.max(-1), rtol=1e-6)
     np.testing.assert_allclose(
@@ -79,12 +81,12 @@ def test_selection_from_kernel_stats_matches_blocks_route(data):
 
     h, kb, bb, alive = data
     tile_v = 256
-    logits, bmax_p, bsum_p = lm_head_blocked_stats(
+    logits3, bmax_p, bsum_p = lm_head_blocked_stats(
         h, kb, bb, tile_v=tile_v, interpret=True, force_pallas=True
     )
-    nb_pad = logits.shape[1] // BLK
+    assert logits3.shape[1] == N  # block-major (nb, N, 128)
     got = _candidates_from_stats(
-        logits, unpack_stats(bmax_p, tile_v), unpack_stats(bsum_p, tile_v),
+        logits3, unpack_stats(bmax_p, tile_v), unpack_stats(bsum_p, tile_v),
         B, K, alive, 2 * K,
     )
 

@@ -525,12 +525,12 @@ class TransformerDecoder(nn.Module):
 
     def _head_blocked_stats(self, h, blocked_weights, tile_v: int = None):
         """LM head through the fused Pallas kernel (ops/blocked_lm_head):
-        one pass over the weight stream emits flat padded f32 logits PLUS the
-        per-128-block max / sum-exp the beam candidate selection needs —
-        the XLA route re-reads the full (N, V) logits from HBM for that stats
-        pass and relayouts them for the candidate gather (~80 us/step at
-        vocab 50k on v5e). Returns ``(logits (N, Vp), bmax (N, nb),
-        bsum (N, nb))`` for beam_search's ``_candidates_from_stats``.
+        one pass over the weight stream emits BLOCK-MAJOR padded f32 logits
+        (nb, N, 128) PLUS the per-128-block max / sum-exp the beam candidate
+        selection needs — the XLA route re-reads the full (N, V) logits from
+        HBM for that stats pass and relayouts them for the candidate gather.
+        Returns ``(logits (nb, N, 128), bmax (N, nb), bsum (N, nb))`` for
+        beam_search's ``_candidates_from_stats``.
 
         The kernel matmul is the same bf16 contraction with f32 accumulation
         as ``_head_blocked`` up to K-split reduction order (measured max

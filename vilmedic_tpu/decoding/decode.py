@@ -430,17 +430,25 @@ def _candidates_from_flat(xflat: jnp.ndarray, b: int, k: int,
     return scores, cand_beam.astype(jnp.int32), cand_token.astype(jnp.int32)
 
 
-def _candidates_from_stats(xflat: jnp.ndarray, bmax: jnp.ndarray,
+def _candidates_from_stats(xp3: jnp.ndarray, bmax: jnp.ndarray,
                            bsum: jnp.ndarray, b: int, k: int,
                            alive_logp: jnp.ndarray, r: int, blk: int = 128):
     """Candidate selection from the fused lm_head kernel's outputs
-    (ops/blocked_lm_head.lm_head_blocked_stats): flat padded f32 logits
-    (n, nb*blk) plus precomputed per-block max / sum-exp (n, nb) — the block
-    stats pass over the full logits is already done inside the matmul kernel,
-    so this only runs the two small top-ks and the candidate-block gather.
-    Same algorithm/exactness argument as ``_candidates_from_blocks``."""
-    n, vp = xflat.shape
-    nb = vp // blk
+    (ops/blocked_lm_head.lm_head_blocked_stats): BLOCK-MAJOR padded f32
+    logits (nb, n, blk) plus precomputed per-block max / sum-exp (n, nb) —
+    the block stats pass over the full logits is already done inside the
+    matmul kernel, so this only runs the two small top-ks and the
+    candidate-block gather. Same algorithm/exactness argument as
+    ``_candidates_from_blocks``.
+
+    The gather indexes ``xp3[block, row]`` directly: with flat (n, nb*blk)
+    logits the (b, k*nb, blk) view take_along_axis needs is not
+    layout-preserving on TPU and XLA materialized a full relayout per step
+    (198 MB, ~626 us at batch 128/vocab 50k on v5e); a dynamic-slice gather
+    was even worse (275 vs 428 rep/s — scattered slices, same negative as
+    r2). Block-major output costs the kernel nothing and kills the relayout.
+    """
+    nb, n, _ = xp3.shape
     m = bmax.max(axis=-1)
     lse = jnp.log(jnp.sum(jnp.exp(bmax - m[:, None]) * bsum, axis=-1)) + m
 
@@ -449,13 +457,14 @@ def _candidates_from_stats(xflat: jnp.ndarray, bmax: jnp.ndarray,
     nblocks = min(r, k * nb)
     _, gbidx = lax.top_k(adj, nblocks)  # (b, nblocks) global block ids
 
-    cand = jnp.take_along_axis(
-        xflat.reshape(b, k * nb, blk), gbidx[..., None], axis=1
-    )  # (b, nblocks, blk)
+    beam = gbidx // nb
+    blkid = gbidx % nb
+    rows = jnp.arange(b, dtype=gbidx.dtype)[:, None] * k + beam
+    cand = xp3[blkid, rows]  # (b, nblocks, blk) batched block gather
     # the owning beam's offset per selected block: gather from the tiny
     # (b, k) table by beam id — materializing the (b, k*nb) repeat first
     # profiled at ~98 us/step at vocab 50k/batch 64 on v5e
-    block_off = jnp.take_along_axis(off.reshape(b, k), gbidx // nb, axis=1)
+    block_off = jnp.take_along_axis(off.reshape(b, k), beam, axis=1)
     cand_flat = (cand + block_off[..., None]).reshape(b, nblocks * blk)
     scores, sel = lax.top_k(cand_flat, r)
     chosen_block = jnp.take_along_axis(gbidx, sel // blk, axis=1)
@@ -660,12 +669,12 @@ def beam_search(
             logits, new_caches = step_fn(tokens, caches, i)
         if blocked_vocab is not None:
             if isinstance(logits, tuple):
-                # (flat logits, block max, block sumexp) from the fused
-                # Pallas head (_head_blocked_stats): the full-logits stats
-                # pass already happened inside the matmul kernel
-                xflat, bmax, bsum = logits
+                # (block-major logits, block max, block sumexp) from the
+                # fused Pallas head (_head_blocked_stats): the full-logits
+                # stats pass already happened inside the matmul kernel
+                xp3, bmax, bsum = logits
                 cand_scores, cand_beam, cand_token = _candidates_from_stats(
-                    xflat, bmax, bsum, b, k, alive_logp, 2 * k
+                    xp3, bmax, bsum, b, k, alive_logp, 2 * k
                 )
             elif logits.ndim == 2:  # flat padded (N, nb*blk) from _head_blocked
                 cand_scores, cand_beam, cand_token = _candidates_from_flat(

@@ -150,9 +150,9 @@ def make_generate_fn(models, beam_width, max_len, bos_id, eos_id, pad_id, length
         # VILMEDIC_LMHEAD_KERNEL=0/1): at batch*beam >= 512 rows the XLA
         # candidate route's full-logits relayout + stats reductions scale
         # superlinearly and the kernel route wins (v5e, beam 8, vocab 50k:
-        # beam-shared cross-attn build: kernel 402 vs XLA 374 rep/s at batch
-        # 64, 430 vs 334 at batch 128), while below that the pallas_call's
-        # fusion-boundary cost dominates (327 vs 428 at batch 32) —
+        # block-major-logits build: kernel 455 vs XLA 374 rep/s at batch 64,
+        # 544 vs 334 at batch 128), while below that the pallas_call's
+        # fusion-boundary cost dominates (390 vs 428 at batch 32) —
         # ROUND3_NOTES.
         lmhead_env = os.environ.get("VILMEDIC_LMHEAD_KERNEL", "auto")
         rows = batch_size * tiling

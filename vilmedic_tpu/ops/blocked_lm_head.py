@@ -53,12 +53,14 @@ def _kernel(h_ref, w_ref, b_ref, out_ref, bmax_ref, bsum_ref, *, tile_v: int):
     n = h_ref.shape[0]
     logits = jnp.dot(h_ref[:], w_ref[:], preferred_element_type=jnp.float32)
     logits = logits + b_ref[:]
-    out_ref[:] = logits
 
     nbt = tile_v // BLK
     maxes, sums = [], []
     for t in range(nbt):
         sl = logits[:, t * BLK:(t + 1) * BLK]
+        # block-major logits write: out slot t of this tile's (nbt, n, BLK)
+        # block — lane slices at 128-aligned offsets, full (n, BLK) tiled dims
+        out_ref[t] = sl
         m = jnp.max(sl, axis=-1, keepdims=True)
         maxes.append(m)
         sums.append(jnp.sum(jnp.exp(sl - m), axis=-1, keepdims=True))
@@ -71,17 +73,21 @@ def _kernel(h_ref, w_ref, b_ref, out_ref, bmax_ref, bsum_ref, *, tile_v: int):
     )
 
 
-def pick_tile_v(n: int, hidden: int, budget_bytes: int = 10 << 20) -> int:
+def pick_tile_v(n: int, hidden: int, budget_bytes: int = 14 << 20) -> int:
     """Largest vocab tile whose double-buffered VMEM working set fits.
 
-    Per grid step the kernel holds the (n, tile_v) f32 logits block, the
-    (hidden, tile_v) bf16 weight block (both double-buffered by Mosaic) and
-    the (n, hidden) bf16 hidden block; at n = 1024 rows a 1024-wide tile
-    overflows the 16 MB scoped-VMEM limit (measured on v5e), so the tile
-    narrows as the row count grows.
+    Mosaic double-buffers EVERY in/out block per grid step: the (n, tile_v)
+    f32 logits out block, the (hidden, tile_v) bf16 weight block, the
+    (n, hidden) bf16 hidden block (invariant index_map, still
+    double-buffered) and the two (n, 128) f32 stats blocks. Calibrated on
+    v5e: n=1536/tile 512 allocates a measured 16.82 MB scoped (model:
+    15.7 MB) and OOMs the 16 MB limit; n=1024/tile 1024 also OOMs while
+    n=1024/tile 512 (model 11.0 MB) compiles — so the budget sits at 14 MB
+    against this model and the tile narrows as the row count grows.
     """
     for tile in (1024, 512, 256, 128):
-        need = 2 * (n * tile * 4 + hidden * tile * 2) + n * hidden * 2
+        need = 2 * (n * tile * 4 + hidden * tile * 2 + n * hidden * 2
+                    + 2 * n * BLK * 4)
         if need <= budget_bytes:
             return tile
     return 128
@@ -96,8 +102,16 @@ def lm_head_blocked_stats(h, kb, bb, tile_v: int = 1024, interpret: bool = False
     bb: (Vp,) f32 padded bias from ``make_blocked_head_weights`` — Vp is
     additionally padded here to a ``tile_v`` multiple (pad bias NEG, so pad
     blocks can never win selection). Returns
-    ``(logits (N, Vp') f32, bmax (N, n_tiles*128) f32, bsum same)``;
-    unpack the stats with :func:`unpack_stats`.
+    ``(logits (Vp'//128, N, 128) f32 BLOCK-MAJOR, bmax (N, n_tiles*128) f32,
+    bsum same)``; unpack the stats with :func:`unpack_stats`.
+
+    Block-major logits: the candidate gather indexes whole 128-wide blocks
+    by (block, row) — in the flat (N, Vp) layout the (b, k*nb, blk) view it
+    needs is NOT layout-preserving on TPU (tiled minor dims), and XLA
+    materialized a full relayout of the logits every decode step (198 MB,
+    ~626 us/step at batch 128/vocab 50k on v5e). With (nb, N, 128) the
+    gather's operand is already block-sliced; per-tile out blocks keep full
+    (N, 128) tiled dims so any ``tile_v`` stays Mosaic-legal.
 
     ``interpret=True`` (CPU backend) computes the same outputs with plain jnp
     ops instead of pallas interpret mode: the production CPU path then works
@@ -131,7 +145,7 @@ def lm_head_blocked_stats(h, kb, bb, tile_v: int = 1024, interpret: bool = False
         bmax = jnp.pad(bmax, ((0, 0), (0, 0), (0, BLK - nbt)),
                        constant_values=NEG).reshape(n, -1)
         bsum = jnp.pad(bsum, ((0, 0), (0, 0), (0, BLK - nbt))).reshape(n, -1)
-        return logits, bmax, bsum
+        return blocks.transpose(1, 0, 2), bmax, bsum
 
     # under shard_map (the multi-device eval path) outputs must declare their
     # varying mesh axes; inherit them from the hidden-state operand
@@ -141,6 +155,7 @@ def lm_head_blocked_stats(h, kb, bb, tile_v: int = 1024, interpret: bool = False
     except (AttributeError, TypeError):
         _sds = jax.ShapeDtypeStruct
 
+    nbt = tile_v // BLK
     logits, bmax, bsum = pl.pallas_call(
         functools.partial(_kernel, tile_v=tile_v),
         grid=grid,
@@ -152,12 +167,13 @@ def lm_head_blocked_stats(h, kb, bb, tile_v: int = 1024, interpret: bool = False
             pl.BlockSpec((1, tile_v), lambda j: (0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((n, tile_v), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nbt, n, BLK), lambda j: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((n, BLK), lambda j: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((n, BLK), lambda j: (0, j), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            _sds((n, vpp), jnp.float32),
+            _sds((vpp // BLK, n, BLK), jnp.float32),
             _sds((n, (vpp // tile_v) * BLK), jnp.float32),
             _sds((n, (vpp // tile_v) * BLK), jnp.float32),
         ],
