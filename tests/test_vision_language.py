@@ -129,3 +129,16 @@ def test_vision_language_end_to_end(tmp_path):
         trainor.model.variables["params"]["vision"]["model"]["patch_embed"]["kernel"]
     )
     assert np.isfinite(init_patch).all()
+
+    # sharded (default on the 8-device CPU mesh) == unsharded generation
+    from vilmedic_tpu.models.vision_language import vl_evaluation
+
+    if len(jax.local_devices()) > 1:
+        dl = evaluator.splits[0][1]
+        sharded = vl_evaluation([trainor.model], config, dl)
+        unsharded = vl_evaluation(
+            [trainor.model], Config({**config.to_dict(), "shard_eval": False}),
+            dl,
+        )
+        assert sharded["hyps"] == unsharded["hyps"]
+        assert sharded["refs"] == unsharded["refs"]

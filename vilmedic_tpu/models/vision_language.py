@@ -183,7 +183,32 @@ def vl_evaluation(models, config, dl, from_training=True, **kwargs) -> Dict[str,
     beam_width = int(config.get("beam_width", 1) or 1)
     length_penalty = float(config.get("length_penalty") or 1.0)
 
-    @jax.jit
+    # Data-parallel generation — DEFAULT on multi-device, same policy as the
+    # RRG/RRS eval (evaluation_nlg.evaluation): decode runs shard-local under
+    # shard_map, batches pad to a device-count multiple, params replicate
+    # onto the local eval mesh. ``shard_eval: false`` disables.
+    import math
+
+    variables = model.variables
+    batch_size = getattr(dl, "batch_size", None)
+    devices = jax.local_devices()
+    n_dev = len(devices)
+    shard_eval = config.get("shard_eval", None)
+    if shard_eval is None:
+        shard_eval = n_dev > 1
+    mesh = None
+    pad_target = int(batch_size) if batch_size else None
+    if shard_eval and n_dev > 1 and batch_size:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.mesh import get_mesh
+
+        mesh = get_mesh(devices=devices)
+        pad_target = math.ceil(int(batch_size) / n_dev) * n_dev
+        if jax.process_count() > 1:
+            variables = jax.tree.map(lambda x: np.asarray(x), variables)
+        variables = jax.device_put(variables, NamedSharding(mesh, P()))
+
     def generate(variables, images):
         cache, prefix_len = module.apply(
             variables, images, max_len, method=type(module).prefill
@@ -199,19 +224,45 @@ def vl_evaluation(models, config, dl, from_training=True, **kwargs) -> Dict[str,
             )
             return logits[:, -1].astype(jnp.float32), new_cache
 
+        # under shard_map, freshly-created decode state is "unvarying" over
+        # the mesh while the loop body makes it varying (evaluation_nlg's
+        # _pvary pattern, applied inside beam/greedy via vary_axes)
+        vary_axes = () if mesh is None else ("data",)
         if beam_width > 1:
             return beam_search(
                 step_fn, cache, batch, beam_width, max_len, bos_id, eos_id,
-                pad_id, length_penalty,
+                pad_id, length_penalty, vary_axes=vary_axes,
             ).sequences
         return greedy_search(
             step_fn, cache, batch, max_len, bos_id, eos_id, pad_id,
-            forced_eos=False,
+            forced_eos=False, vary_axes=vary_axes,
         ).sequences
+
+    if mesh is not None:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from ..parallel.mesh import DATA_AXIS
+
+        generate = jax.jit(shard_map(
+            generate, mesh=mesh, in_specs=(P(), P(DATA_AXIS)),
+            out_specs=P(DATA_AXIS),
+        ))
+    else:
+        generate = jax.jit(generate)
+
+    from ..models.evaluation_nlg import _pad_batch
+    from ..parallel.mesh import shard_batch
 
     refs, hyps = [], []
     for batch in dl:
-        seqs = np.asarray(generate(model.variables, jnp.asarray(batch["images"])))
+        images = jnp.asarray(batch["images"])
+        n = images.shape[0]
+        if pad_target and n < pad_target:  # static-shape padding for XLA
+            images = _pad_batch(images, pad_target)
+        if mesh is not None:
+            images = shard_batch(images, mesh)
+        seqs = np.asarray(generate(variables, images))[:n]
         for h, r in zip(seqs, batch["input_ids"]):
             hyps.append(tokenizer.decode(h, skip_special_tokens=True,
                                          clean_up_tokenization_spaces=False))
