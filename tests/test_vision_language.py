@@ -56,14 +56,14 @@ def test_prefill_decode_matches_full_forward():
 
     full = module.apply(variables, images, ids, mask)["logits"]
 
-    cache, prefix_len = module.apply(
+    cache, prefix_kv, prefix_len = module.apply(
         variables, images, t, method=VisionLanguageModule.prefill
     )
     step_logits = []
     for i in range(t):
         logits, cache = module.apply(
-            variables, ids[:, i: i + 1], cache, jnp.asarray(i), prefix_len,
-            method=VisionLanguageModule.decode_step,
+            variables, ids[:, i: i + 1], cache, prefix_kv, jnp.asarray(i),
+            prefix_len, method=VisionLanguageModule.decode_step,
         )
         step_logits.append(logits[:, 0])
     step_logits = jnp.stack(step_logits, axis=1)

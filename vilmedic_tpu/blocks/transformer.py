@@ -270,6 +270,63 @@ class MultiHeadAttention(nn.Module):
         out = dot_product_attention(q, k, v, bias=bias, dtype=self.config.dtype)
         return self.o_proj(self._merge(out)), new_cache
 
+    def prefix_decode(self, x, prefix_kv, cache, decode_index):
+        """Single-token decode over a beam-SHARED prefix plus the per-beam
+        generated cache, in one joint softmax.
+
+        The prefix-LM's image prefix K/V is identical across the beams of an
+        item, so it never enters the beam-gathered cache: ``prefix_kv`` is
+        ``(pk, pv)`` at batch size B (closed over as a decode-loop invariant)
+        while ``x``/``cache`` carry N = B*fold beam-major rows (fold = beams,
+        or any whole-batch tiling). Scores over the prefix fold the beam axis
+        into the query axis (the beam-shared cross-attention trick); scores
+        over the generated slots stay per-row; ONE softmax over the
+        concatenated (P + T) keys reproduces exactly the softmax the
+        old concatenated cache computed (prefix slots first). Returns
+        ``(out (N, 1, hidden), new_cache)``.
+        """
+        cfg = self.config
+        q = self._split(self.q_proj(x))  # (N, 1, H, D)
+        k_new = self._split(self.k_proj(x))
+        v_new = self._split(self.v_proj(x))
+        idx = decode_index.astype(jnp.int32)
+        ck = jax.lax.dynamic_update_slice(
+            cache["k"], k_new.astype(cache["k"].dtype), (0, idx, 0, 0)
+        )
+        cv = jax.lax.dynamic_update_slice(
+            cache["v"], v_new.astype(cache["v"].dtype), (0, idx, 0, 0)
+        )
+        new_cache = {"k": ck, "v": cv}
+
+        pk, pv = prefix_kv
+        b, p = pk.shape[:2]
+        n, _, heads, d = q.shape
+        fold = n // b
+        assert b * fold == n, (b, n)
+        t = ck.shape[1]
+        qs = (q[:, 0] * (d ** -0.5)).astype(jnp.float32)
+
+        qf = qs.reshape(b, fold, heads, d)
+        sp = jnp.einsum("bqhd,bphd->bhqp", qf, pk.astype(jnp.float32))
+        sg = jnp.einsum("nhd,nthd->nht", qs, ck.astype(jnp.float32))
+        # causal by slot: generated slots beyond the current index are unwritten
+        sg = jnp.where(jnp.arange(t)[None, None, :] <= idx, sg, NEG_INF)
+        sg = sg.reshape(b, fold, heads, t).transpose(0, 2, 1, 3)  # (B,H,fold,T)
+
+        s = jnp.concatenate([sp, sg], axis=-1)  # (B, H, fold, P+T)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        w = e / jnp.sum(e, axis=-1, keepdims=True)
+        wp = w[..., :p].astype(cfg.dtype)
+        wg = w[..., p:].astype(cfg.dtype)
+
+        out = jnp.einsum("bhqp,bphd->bqhd", wp, pv.astype(cfg.dtype))
+        out = out + jnp.einsum(
+            "nht,nthd->nhd", wg.transpose(0, 2, 1, 3).reshape(n, heads, t), cv
+        ).reshape(b, fold, heads, d)
+        out = out.reshape(n, 1, cfg.hidden_size)
+        return self.o_proj(out), new_cache
+
     def _ancestry_attention(self, q, k_old, v_old, k_new, v_new, ancestry):
         """Reorder-free beam decode self-attention.
 
