@@ -74,6 +74,19 @@ def test_jnp_reference_path_matches_pallas_interpret(data):
         np.testing.assert_allclose(np.asarray(r), np.asarray(k), rtol=1e-6)
 
 
+def test_pick_tile_v_calibration():
+    """Lock the VMEM-model tile choices at the calibrated row counts
+    (v5e hardware points: n=1024/tile 1024 and n=1536/tile 512 both OOM the
+    16 MB scoped limit; n=1024/tile 512 and n=512/tile 1024 compile)."""
+    from vilmedic_tpu.ops.blocked_lm_head import pick_tile_v
+
+    assert pick_tile_v(256, 768) == 1024   # batch 32, beam 8
+    assert pick_tile_v(512, 768) == 1024   # batch 64
+    assert pick_tile_v(1024, 768) == 512   # batch 128 (tile 1024 OOMs)
+    assert pick_tile_v(1536, 768) == 256   # batch 192 (tile 512 OOMs: 16.82M)
+    assert pick_tile_v(2048, 768) <= 256
+
+
 def test_selection_from_kernel_stats_matches_blocks_route(data):
     """Candidate (scores, beam, token) via the kernel outputs == the
     production _candidates_from_blocks on the same logits."""
