@@ -72,6 +72,60 @@ def test_prefill_decode_matches_full_forward():
     )
 
 
+def test_vl_blocked_head_beam_parity():
+    """Large-vocab VL beam decode through the blocked LM head (the
+    vl_evaluation default at vocab >= 4096) must emit the same sequences as
+    the plain flat-logits head."""
+    from vilmedic_tpu.blocks.transformer import (
+        TransformerConfig,
+        make_blocked_head_weights,
+    )
+    from vilmedic_tpu.blocks.vision.visual_encoder import build_visual_encoder
+    from vilmedic_tpu.decoding import beam_search, tile_for_beams
+    from vilmedic_tpu.models.vision_language import VisionLanguageModule
+
+    vocab = 4500
+    cfg = TransformerConfig(
+        vocab_size=vocab, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64,
+        max_position_embeddings=64, hidden_dropout_prob=0.0,
+    )
+    module = VisionLanguageModule(
+        cfg=cfg, vision=build_visual_encoder(dict(TINY_VISION)), num_image_tokens=6
+    )
+    b, t, k = 2, 8, 3
+    rng = np.random.default_rng(3)
+    images = jnp.asarray(rng.normal(size=(b, 32, 32, 3)), jnp.float32)
+    ids = jnp.asarray(rng.integers(3, vocab, (b, 4)), jnp.int32)
+    variables = module.init(jax.random.key(0), images, ids, jnp.ones_like(ids))
+
+    cache0, prefix_kv, p = module.apply(
+        variables, images, t, method=VisionLanguageModule.prefill
+    )
+
+    def run(blocked):
+        cache = tile_for_beams(cache0, k)
+
+        def step_fn(tokens, cache, index):
+            logits, new_cache = module.apply(
+                variables, tokens, cache, prefix_kv, index, p,
+                blocked_head=blocked, method=VisionLanguageModule.decode_step,
+            )
+            if blocked is not None:
+                return logits, new_cache
+            return logits[:, -1].astype(jnp.float32), new_cache
+
+        return np.asarray(beam_search(
+            step_fn, cache, b, k, t, bos_id=0, eos_id=2, pad_id=1,
+            length_penalty=1.0,
+            blocked_vocab=vocab if blocked is not None else None,
+        ).sequences)
+
+    plain = run(None)
+    blocked = run(make_blocked_head_weights(variables["params"], cfg.dtype))
+    np.testing.assert_array_equal(plain, blocked)
+
+
 def test_vision_language_end_to_end(tmp_path):
     root = tmp_path / "data"
     root.mkdir()

@@ -162,13 +162,19 @@ class VisionLanguageModule(nn.Module):
             })
         return tuple(gen_caches), tuple(prefix_kvs), p
 
-    def decode_step(self, tokens, cache, prefix_kv, index, prefix_len):
+    def decode_step(self, tokens, cache, prefix_kv, index, prefix_len,
+                    blocked_head=None):
         """One-token decode at absolute position prefix_len + index.
 
         ``cache`` holds only the generated-token K/V (beam-gathered, written
         at slot ``index``); ``prefix_kv`` is the beam-shared prefix segment
         from :meth:`prefill` (batch size B — the joint softmax in
-        ``MultiHeadAttention.prefix_decode`` folds the beam axis)."""
+        ``MultiHeadAttention.prefix_decode`` folds the beam axis).
+        ``blocked_head`` is the pre-padded (kernel, bias) pair from
+        ``make_blocked_head_weights`` — beam search then consumes
+        (N, nb, 128) f32 blocks with no per-step pad/reshape of the 50k-wide
+        logits (bit-identical to the plain head, same argument as
+        ``TransformerDecoder._head_blocked``)."""
         abs_index = prefix_len + index
         h = self._text_embed(tokens, abs_index)
         new_cache = []
@@ -179,6 +185,14 @@ class VisionLanguageModule(nn.Module):
                 decode_index=index, prefix_kv=pkv,
             )
             new_cache.append({"self_k": new_self["k"], "self_v": new_self["v"]})
+        if blocked_head is not None:
+            kb, bb = blocked_head
+            out = jnp.matmul(
+                h[:, -1].astype(self.cfg.dtype), kb,
+                preferred_element_type=jnp.float32,
+            ) + bb
+            logits = out.reshape(out.shape[0], out.shape[-1] // 128, 128)
+            return logits, tuple(new_cache)
         return self.lm_head(h).astype(jnp.float32), tuple(new_cache)
 
 
@@ -246,17 +260,34 @@ def vl_evaluation(models, config, dl, from_training=True, **kwargs) -> Dict[str,
                 lambda x: jax.lax.pcast(x, vary_axes, to="varying"), cache
             )
 
+        # blocked LM head for beam decode at large vocab: pad the vocab
+        # projection to 128-blocks ONCE outside the decode loop; the beam
+        # search consumes (N, nb, 128) f32 blocks directly (bit-identical,
+        # no per-step pad/relayout of the 50k-wide logits — the same
+        # 242->280 rep/s lever as the RRG decoder)
+        vocab = model.dec_config.vocab_size
+        blocked = None
+        if beam_width > 1 and vocab >= 4096:
+            from ..blocks.transformer import make_blocked_head_weights
+
+            blocked = make_blocked_head_weights(
+                variables["params"], model.dec_config.dtype
+            )
+
         def step_fn(tokens, cache, index):
             logits, new_cache = module.apply(
                 variables, tokens, cache, prefix_kv, index, prefix_len,
-                method=type(module).decode_step,
+                blocked_head=blocked, method=type(module).decode_step,
             )
+            if blocked is not None:
+                return logits, new_cache
             return logits[:, -1].astype(jnp.float32), new_cache
 
         if beam_width > 1:
             return beam_search(
                 step_fn, cache, batch, beam_width, max_len, bos_id, eos_id,
                 pad_id, length_penalty, vary_axes=vary_axes,
+                blocked_vocab=vocab if blocked is not None else None,
             ).sequences
         return greedy_search(
             step_fn, cache, batch, max_len, bos_id, eos_id, pad_id,
