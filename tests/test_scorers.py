@@ -95,6 +95,17 @@ def test_spice_scene_graph_tuples_and_scoring():
     t2 = extract_tuples("opacity in the lobe")
     assert ("opacity", "in", "lobe") in t2
 
+    # broadened lexicon: CT/MR and abdominal modifiers fire as attributes,
+    # not phantom objects
+    t3 = extract_tuples(
+        "hypodense hepatic lesion. loculated free fluid in the pelvis. "
+        "ground glass opacities in both lungs."
+    )
+    assert ("lesion", "hypodense") in t3 and ("lesion", "hepatic") in t3
+    assert ("fluid", "loculated") in t3 and ("fluid", "free") in t3
+    assert ("opacity", "ground") in t3 and ("opacity", "glass") in t3
+    assert ("hypodense",) not in t3 and ("loculated",) not in t3
+
     refs = ["small left pleural effusion . no pneumothorax .",
             "the heart is enlarged ."]
     perfect = list(refs)

@@ -37,13 +37,27 @@ from ...registry import register
 
 ATTRIBUTES = frozenset("""
 mild moderate severe small large tiny massive trace minimal extensive
-left right bilateral upper lower central peripheral basal apical
-acute chronic stable unchanged new old interval prior residual
-patchy diffuse focal multifocal scattered streaky linear nodular
-normal enlarged prominent tortuous calcified degenerative
+left right bilateral unilateral upper lower central peripheral basal apical
+medial lateral anterior posterior superior inferior proximal distal
+acute chronic stable unchanged new old interval prior residual recurrent
+patchy diffuse focal multifocal scattered streaky linear nodular reticular
+coarse fine confluent segmental lobar subsegmental perihilar subpleural
+normal abnormal enlarged prominent tortuous calcified degenerative
+atherosclerotic ectatic aneurysmal dilated distended collapsed atrophic
+hypertrophic thickened edematous consolidative cavitary cystic solid
+ground glass groundglass micronodular miliary reticulonodular
 pleural pulmonary cardiac mediastinal hilar interstitial vascular osseous
-low high increased decreased improved worsened elevated depressed
-clear hazy dense lucent opaque blunted
+hepatic renal splenic adrenal pancreatic biliary gastric duodenal colonic
+bowel mesenteric retroperitoneal pelvic periportal subcapsular
+vertebral thoracic lumbar cervical costal rib clavicular humeral
+low high increased decreased improved worsened elevated depressed reduced
+clear hazy dense lucent opaque blunted obscured sharp indistinct
+hyperdense hypodense isodense hyperintense hypointense heterogeneous
+homogeneous enhancing nonenhancing rim simple complex loculated free
+dependent layering
+benign malignant metastatic suspicious indeterminate incidental
+postsurgical postoperative posttraumatic healed displaced nondisplaced
+compressive obstructive emphysematous bronchiectatic fibrotic cicatricial
 """.split())
 
 RELATIONS = frozenset("in of at with on within into over under near to from".split())
