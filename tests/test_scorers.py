@@ -99,7 +99,7 @@ def test_spice_scene_graph_tuples_and_scoring():
     # not phantom objects
     t3 = extract_tuples(
         "hypodense hepatic lesion. loculated free fluid in the pelvis. "
-        "ground glass opacities in both lungs."
+        "ground glass opacity in both lungs."
     )
     assert ("lesion", "hypodense") in t3 and ("lesion", "hepatic") in t3
     assert ("fluid", "loculated") in t3 and ("fluid", "free") in t3

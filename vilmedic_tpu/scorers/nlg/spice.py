@@ -54,7 +54,7 @@ low high increased decreased improved worsened elevated depressed reduced
 clear hazy dense lucent opaque blunted obscured sharp indistinct
 hyperdense hypodense isodense hyperintense hypointense heterogeneous
 homogeneous enhancing nonenhancing rim simple complex loculated free
-dependent layering
+dependent layering both multiple several few numerous single two
 benign malignant metastatic suspicious indeterminate incidental
 postsurgical postoperative posttraumatic healed displaced nondisplaced
 compressive obstructive emphysematous bronchiectatic fibrotic cicatricial
