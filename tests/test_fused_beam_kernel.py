@@ -71,6 +71,74 @@ def test_kernel_matches_numpy_oracle():
     np.testing.assert_array_equal(vc2, exp_vc)
 
 
+def test_kernel_stats_enable_exact_segment_merge():
+    """return_stats=True: the per-(row, head) online-softmax (m, l) let a
+    caller merge this segment's normalized output with a second attention
+    segment — the joint result must equal softmax over the concatenated
+    keys (the prefix-LM decode's merge, models/vision_language.py)."""
+    B, K, T, H, D = 2, 4, 8, 4, 32
+    N = B * K
+    P = 5  # extra (prefix-like) segment length
+    rng = np.random.default_rng(1)
+    idx = 5
+
+    kc = rng.normal(size=(T, N, H * D)).astype(np.float32)
+    vc = rng.normal(size=(T, N, H * D)).astype(np.float32)
+    q = rng.normal(size=(N, H, D)).astype(np.float32)
+    k_new = rng.normal(size=(N, H, D)).astype(np.float32)
+    v_new = rng.normal(size=(N, H, D)).astype(np.float32)
+    pk = rng.normal(size=(N, P, H, D)).astype(np.float32)
+    pv = rng.normal(size=(N, P, H, D)).astype(np.float32)
+
+    anc_idx = rng.integers(0, K, (B, K, T))
+    anc = np.zeros((B, K, K, T), np.float32)
+    for b in range(B):
+        for qq in range(K):
+            for t in range(idx):
+                anc[b, anc_idx[b, qq, t], qq, t] = 1.0
+
+    bias = make_ancestry_mask(jnp.asarray(anc), g=2)
+    out, _, _, m, l = fused_beam_cache_attention(
+        jnp.asarray(kc), jnp.asarray(vc), jnp.asarray(q),
+        jnp.asarray(k_new), jnp.asarray(v_new), bias,
+        jnp.asarray(idx, jnp.int32), interpret=True, return_stats=True,
+    )
+    out, m, l = np.asarray(out), np.asarray(m), np.asarray(l)
+    assert m.shape == (N, H) and l.shape == (N, H)
+
+    scale = D ** -0.5
+    for b in range(B):
+        for qq in range(K):
+            n = b * K + qq
+            for h in range(H):
+                qs = q[n, h] * scale
+                # prefix segment stats + unnormalized acc
+                sp = pk[n, :, h] @ qs
+                mp = sp.max()
+                ep = np.exp(sp - mp)
+                lp = ep.sum()
+                accp = ep @ pv[n, :, h]
+                # merge with the kernel segment
+                M = max(m[n, h], mp)
+                cg = np.exp(m[n, h] - M) * l[n, h]
+                cp = np.exp(mp - M)
+                merged = (cg * out[n, h] + cp * accp) / (cg + cp * lp)
+                # oracle: joint softmax over concatenated keys
+                sel_k = np.stack(
+                    [kc[t, b * K + anc_idx[b, qq, t], h * D:(h + 1) * D]
+                     for t in range(idx)] + [k_new[n, h]], 0)
+                sel_v = np.stack(
+                    [vc[t, b * K + anc_idx[b, qq, t], h * D:(h + 1) * D]
+                     for t in range(idx)] + [v_new[n, h]], 0)
+                s_all = np.concatenate([sel_k @ qs, sp])
+                v_all = np.concatenate([sel_v, pv[n, :, h]], 0)
+                p = np.exp(s_all - s_all.max())
+                p /= p.sum()
+                np.testing.assert_allclose(
+                    merged, p @ v_all, rtol=1e-5, atol=1e-5
+                )
+
+
 def test_ensemble_generate_kernel_matches_permute(monkeypatch):
     """Two-member ensemble through make_generate_fn: the kernel-cache default
     path must reproduce the permute path (logit-sum semantics preserved)."""

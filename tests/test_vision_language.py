@@ -126,7 +126,68 @@ def test_vl_blocked_head_beam_parity():
     np.testing.assert_array_equal(plain, blocked)
 
 
-def test_vision_language_end_to_end(tmp_path):
+def test_vl_kernel_cache_beam_parity():
+    """The fused reorder-free kernel route for the generated segment
+    (k_tnf cache + ancestry + prefix merge) must emit the same beam
+    sequences as the plain gather/permute route."""
+    from vilmedic_tpu.blocks.transformer import TransformerConfig, to_kernel_cache
+    from vilmedic_tpu.blocks.vision.visual_encoder import build_visual_encoder
+    from vilmedic_tpu.decoding import beam_search, tile_for_beams
+    from vilmedic_tpu.models.vision_language import VisionLanguageModule
+
+    vocab, k = 60, 4
+    cfg = TransformerConfig(
+        vocab_size=vocab, hidden_size=128, num_hidden_layers=2,
+        num_attention_heads=2,  # head_dim 64: kernel-capable
+        intermediate_size=64, max_position_embeddings=64,
+        hidden_dropout_prob=0.0,
+    )
+    module = VisionLanguageModule(
+        cfg=cfg, vision=build_visual_encoder(dict(
+            TINY_VISION, hidden_size=128, num_attention_heads=2
+        )), num_image_tokens=6,
+    )
+    b, t = 2, 8
+    rng = np.random.default_rng(5)
+    images = jnp.asarray(rng.normal(size=(b, 32, 32, 3)), jnp.float32)
+    ids = jnp.asarray(rng.integers(3, vocab, (b, 4)), jnp.int32)
+    variables = module.init(jax.random.key(0), images, ids, jnp.ones_like(ids))
+
+    cache0, prefix_kv, p = module.apply(
+        variables, images, t, method=VisionLanguageModule.prefill
+    )
+
+    def run(kernel):
+        cache = tile_for_beams(cache0, k)
+        if kernel:
+            cache = to_kernel_cache(cache)
+
+        def step_fn(tokens, cache, index, anc=None):
+            logits, new_cache = module.apply(
+                variables, tokens, cache, prefix_kv, index, p,
+                ancestry=anc, method=VisionLanguageModule.decode_step,
+            )
+            return logits[:, -1].astype(jnp.float32), new_cache
+
+        return np.asarray(beam_search(
+            step_fn, cache, b, k, t, bos_id=0, eos_id=2, pad_id=1,
+            length_penalty=1.0, ancestry=kernel,
+            ancestry_group_items=2 if kernel else None,
+        ).sequences)
+
+    np.testing.assert_array_equal(run(False), run(True))
+
+
+@pytest.mark.parametrize("dims", ["tiny", "kernel"])
+def test_vision_language_end_to_end(tmp_path, dims):
+    """dims='kernel' uses a 128-hidden/64-head-dim decoder so the default
+    eval path exercises the fused reorder-free kernel route (incl. the
+    check_vma-scoped shard_map on the 8-device CPU mesh)."""
+    decoder = dict(TINY_DECODER)
+    vision = dict(TINY_VISION)
+    if dims == "kernel":
+        decoder.update(hidden_size=128, num_attention_heads=2)
+        vision.update(hidden_size=128, num_attention_heads=2)
     root = tmp_path / "data"
     root.mkdir()
     reports = ["no acute disease .", "lungs are clear .", "heart size normal .",
@@ -155,8 +216,8 @@ def test_vision_language_end_to_end(tmp_path):
             },
             "model": {
                 "proto": "VisionLanguage",
-                "decoder": dict(TINY_DECODER),
-                "vision": dict(TINY_VISION),
+                "decoder": decoder,
+                "vision": vision,
             },
             "batch_size": 4,
             "optimizer": "AdamW",

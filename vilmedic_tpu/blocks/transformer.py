@@ -270,7 +270,7 @@ class MultiHeadAttention(nn.Module):
         out = dot_product_attention(q, k, v, bias=bias, dtype=self.config.dtype)
         return self.o_proj(self._merge(out)), new_cache
 
-    def prefix_decode(self, x, prefix_kv, cache, decode_index):
+    def prefix_decode(self, x, prefix_kv, cache, decode_index, ancestry=None):
         """Single-token decode over a beam-SHARED prefix plus the per-beam
         generated cache, in one joint softmax.
 
@@ -284,12 +284,61 @@ class MultiHeadAttention(nn.Module):
         concatenated (P + T) keys reproduces exactly the softmax the
         old concatenated cache computed (prefix slots first). Returns
         ``(out (N, 1, hidden), new_cache)``.
+
+        With a kernel-layout cache (``k_tnf``/``v_tnf`` in (T, N, H*D)) and a
+        dense ``ancestry`` mask, the generated segment runs through the fused
+        reorder-free Pallas kernel (in-place cache write, never permuted on
+        beam reorder) with ``return_stats=True``, and its normalized output
+        merges with the prefix segment via the online-softmax combine —
+        exactness of the merge is oracle-tested in
+        tests/test_fused_beam_kernel.py.
         """
         cfg = self.config
         q = self._split(self.q_proj(x))  # (N, 1, H, D)
         k_new = self._split(self.k_proj(x))
         v_new = self._split(self.v_proj(x))
         idx = decode_index.astype(jnp.int32)
+        heads, d = cfg.num_attention_heads, cfg.head_dim
+
+        if cache is not None and "k_tnf" in cache:
+            assert ancestry is not None and ancestry.ndim == 3
+            n = q.shape[0]
+            from ..ops.beam_cache_attention import fused_beam_cache_attention
+
+            out_g, kc2, vc2, m_g, l_g = fused_beam_cache_attention(
+                cache["k_tnf"], cache["v_tnf"],
+                q.reshape(n, heads, d),
+                k_new.reshape(n, heads, d),
+                v_new.reshape(n, heads, d),
+                ancestry, idx,
+                interpret=jax.default_backend() == "cpu",
+                return_stats=True,
+            )
+            new_cache = {"k_tnf": kc2, "v_tnf": vc2}
+
+            pk, pv = prefix_kv
+            b, p = pk.shape[:2]
+            fold = n // b
+            qf = (q[:, 0].astype(jnp.float32) * (d ** -0.5)).reshape(
+                b, fold, heads, d
+            )
+            sp = jnp.einsum("bqhd,bphd->bhqp", qf, pk.astype(jnp.float32))
+            mp = sp.max(-1)  # (B, H, fold)
+            ep = jnp.exp(sp - mp[..., None])
+            lp = ep.sum(-1)
+            accp = jnp.einsum("bhqp,bphd->bqhd", ep, pv.astype(jnp.float32))
+            mp = mp.transpose(0, 2, 1).reshape(n, heads)
+            lp = lp.transpose(0, 2, 1).reshape(n, heads)
+            accp = accp.reshape(n, heads, d)
+
+            big = jnp.maximum(m_g, mp)
+            cg = jnp.exp(m_g - big) * l_g
+            cp = jnp.exp(mp - big)
+            out = (cg[..., None] * out_g + cp[..., None] * accp) / (
+                cg + cp * lp
+            )[..., None]
+            out = out.astype(cfg.dtype).reshape(n, 1, cfg.hidden_size)
+            return self.o_proj(out), new_cache
         ck = jax.lax.dynamic_update_slice(
             cache["k"], k_new.astype(cache["k"].dtype), (0, idx, 0, 0)
         )

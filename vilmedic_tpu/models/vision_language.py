@@ -50,12 +50,13 @@ class CausalLayer(nn.Module):
         self.dropout = nn.Dropout(cfg.hidden_dropout_prob)
 
     def __call__(self, x, bias=None, deterministic=True, cache=None, decode_index=None,
-                 prefix_kv=None):
+                 prefix_kv=None, ancestry=None):
         if prefix_kv is not None:
             # beam-shared prefix decode: one joint softmax over the shared
-            # prefix K/V (batch B) + the per-beam generated cache
+            # prefix K/V (batch B) + the per-beam generated cache (fused
+            # reorder-free kernel segment when ancestry + k_tnf layout)
             attn, new_cache = self.self_attn.prefix_decode(
-                x, prefix_kv, cache, decode_index
+                x, prefix_kv, cache, decode_index, ancestry=ancestry
             )
         else:
             attn, new_cache = self.self_attn(
@@ -163,7 +164,7 @@ class VisionLanguageModule(nn.Module):
         return tuple(gen_caches), tuple(prefix_kvs), p
 
     def decode_step(self, tokens, cache, prefix_kv, index, prefix_len,
-                    blocked_head=None):
+                    blocked_head=None, ancestry=None):
         """One-token decode at absolute position prefix_len + index.
 
         ``cache`` holds only the generated-token K/V (beam-gathered, written
@@ -177,14 +178,22 @@ class VisionLanguageModule(nn.Module):
         ``TransformerDecoder._head_blocked``)."""
         abs_index = prefix_len + index
         h = self._text_embed(tokens, abs_index)
+        kernel_cache = "self_k_tnf" in cache[0]
         new_cache = []
         for layer, lc, pkv in zip(self.layers, cache, prefix_kv):
+            if kernel_cache:
+                cache_in = {"k_tnf": lc["self_k_tnf"], "v_tnf": lc["self_v_tnf"]}
+            else:
+                cache_in = {"k": lc["self_k"], "v": lc["self_v"]}
             h, new_self = layer(
-                h, deterministic=True,
-                cache={"k": lc["self_k"], "v": lc["self_v"]},
-                decode_index=index, prefix_kv=pkv,
+                h, deterministic=True, cache=cache_in,
+                decode_index=index, prefix_kv=pkv, ancestry=ancestry,
             )
-            new_cache.append({"self_k": new_self["k"], "self_v": new_self["v"]})
+            if kernel_cache:
+                new_cache.append({"self_k_tnf": new_self["k_tnf"],
+                                  "self_v_tnf": new_self["v_tnf"]})
+            else:
+                new_cache.append({"self_k": new_self["k"], "self_v": new_self["v"]})
         if blocked_head is not None:
             kb, bb = blocked_head
             out = jnp.matmul(
@@ -221,6 +230,20 @@ def vl_evaluation(models, config, dl, from_training=True, **kwargs) -> Dict[str,
     # shard_map, batches pad to a device-count multiple, params replicate
     # onto the local eval mesh. ``shard_eval: false`` disables.
     import math
+    import os
+
+    # Reorder-free beam decode for the generated segment (same policy as
+    # evaluation_nlg): the fused Pallas kernel needs 128-multiple H*D, a
+    # head_dim dividing 128, and beam <= 64; VILMEDIC_ANCESTRY_DECODE=0
+    # restores the cache-permute path.
+    cfg_dec = model.dec_config
+    ancestry_impl = os.environ.get("VILMEDIC_ANCESTRY_DECODE", "pallas")
+    kernel_ok = (
+        beam_width and 1 < beam_width <= 64
+        and cfg_dec.hidden_size % 128 == 0
+        and 128 % cfg_dec.head_dim == 0
+        and ancestry_impl == "pallas"
+    )
 
     variables = model.variables
     batch_size = getattr(dl, "batch_size", None)
@@ -252,6 +275,13 @@ def vl_evaluation(models, config, dl, from_training=True, **kwargs) -> Dict[str,
             # K/V stay at batch B as loop invariants (prefix_decode folds the
             # beam axis) — never gathered on beam reorder
             cache = tile_for_beams(cache, beam_width)
+        if kernel_ok:
+            from ..blocks.transformer import to_kernel_cache
+
+            # (T, N, H*D) kernel layout: in-place slab writes, cache carried
+            # un-permuted across beam reorders (ancestry folds the reorder
+            # into the attention reads)
+            cache = to_kernel_cache(cache)
         # under shard_map the freshly-zeroed gen cache is "unvarying" while
         # the loop body makes it varying — promote it (evaluation_nlg _pvary)
         vary_axes = () if mesh is None else ("data",)
@@ -274,20 +304,27 @@ def vl_evaluation(models, config, dl, from_training=True, **kwargs) -> Dict[str,
                 variables["params"], model.dec_config.dtype
             )
 
-        def step_fn(tokens, cache, index):
+        def step_fn(tokens, cache, index, anc=None):
             logits, new_cache = module.apply(
                 variables, tokens, cache, prefix_kv, index, prefix_len,
-                blocked_head=blocked, method=type(module).decode_step,
+                blocked_head=blocked, ancestry=anc,
+                method=type(module).decode_step,
             )
             if blocked is not None:
                 return logits, new_cache
             return logits[:, -1].astype(jnp.float32), new_cache
 
         if beam_width > 1:
+            anc_g = None
+            if kernel_ok:
+                # items per kernel group: biggest divisor with <= 64 rows
+                anc_g = max(d for d in range(1, batch + 1)
+                            if batch % d == 0 and d * beam_width <= 64)
             return beam_search(
                 step_fn, cache, batch, beam_width, max_len, bos_id, eos_id,
                 pad_id, length_penalty, vary_axes=vary_axes,
                 blocked_vocab=vocab if blocked is not None else None,
+                ancestry=bool(kernel_ok), ancestry_group_items=anc_g,
             ).sequences
         return greedy_search(
             step_fn, cache, batch, max_len, bos_id, eos_id, pad_id,
@@ -300,9 +337,16 @@ def vl_evaluation(models, config, dl, from_training=True, **kwargs) -> Dict[str,
 
         from ..parallel.mesh import DATA_AXIS
 
+        kwargs = {}
+        if kernel_ok and jax.default_backend() == "cpu":
+            # INTERPRET-MODE ONLY workaround, same scope and rationale as
+            # evaluation_nlg.make_generate_fn: discharge of the kernel's DMA
+            # primitives inside shard_map trips jax's vma matching on CPU;
+            # real-TPU keeps full vma verification.
+            kwargs["check_vma"] = False
         generate = jax.jit(shard_map(
             generate, mesh=mesh, in_specs=(P(), P(DATA_AXIS)),
-            out_specs=P(DATA_AXIS),
+            out_specs=P(DATA_AXIS), **kwargs,
         ))
     else:
         generate = jax.jit(generate)

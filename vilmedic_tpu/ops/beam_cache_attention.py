@@ -92,9 +92,15 @@ def make_ancestry_mask(ancestry, g: int):
 
 
 def _kernel(idx_ref, kc_hbm, vc_hbm, q_ref, knew_ref, vnew_ref, bias_ref,
-            kc_out, vc_out, o_ref,
-            kbuf, vbuf, m_ref, l_ref, acc_ref, load_sems, store_sems,
-            *, rows: int, t: int, d: int, hd: int, tchunk: int):
+            kc_out, vc_out, o_ref, *maybe_stats_refs,
+            rows: int, t: int, d: int, hd: int, tchunk: int,
+            return_stats: bool = False):
+    if return_stats:
+        (mout_ref, lout_ref, kbuf, vbuf, m_ref, l_ref, acc_ref,
+         load_sems, store_sems) = maybe_stats_refs
+    else:
+        (kbuf, vbuf, m_ref, l_ref, acc_ref,
+         load_sems, store_sems) = maybe_stats_refs
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -153,6 +159,7 @@ def _kernel(idx_ref, kc_hbm, vc_hbm, q_ref, knew_ref, vnew_ref, bias_ref,
     lane_iota = lax.broadcasted_iota(jnp.int32, (rows, LANE), 1)
     rows2 = hpb * rows
     ccols = tchunk * rows  # a 128-multiple — asserted in fused_beam_cache_attention
+    m_cols, l_cols = [], []  # per-head (rows, 1) softmax stats, lane order
 
     for hp in range(n_blocks):
         slot = hp % 2
@@ -225,14 +232,33 @@ def _kernel(idx_ref, kc_hbm, vc_hbm, q_ref, knew_ref, vnew_ref, bias_ref,
                 masks[hi], oh[hi * rows:(hi + 1) * rows], out_pair
             )
         o_ref[:, c0:c0 + LANE] = out_pair.astype(o_ref.dtype)
+        if return_stats:
+            for hi in range(hpb):
+                m_cols.append(m_ref[hi * rows:(hi + 1) * rows])
+                l_cols.append(l_ref[hi * rows:(hi + 1) * rows])
+
+    if return_stats:
+        # per-(row, head) softmax max / denominator, packed into one
+        # (rows, 128) lane block (first `heads` lanes real; pad NEG / 0 so a
+        # merge with another attention segment treats pads as empty) — the
+        # same concat-into-lanes packing as the lm-head stats kernel
+        heads = len(m_cols)
+        pad = LANE - heads
+        mout_ref[:] = jnp.concatenate(
+            m_cols + [jnp.full((rows, pad), NEG_INF, jnp.float32)], axis=1
+        )
+        lout_ref[:] = jnp.concatenate(
+            l_cols + [jnp.zeros((rows, pad), jnp.float32)], axis=1
+        )
 
     pltpu.make_async_copy(knew_ref, kc_out.at[idx, gi], store_sems.at[0]).wait()
     pltpu.make_async_copy(vnew_ref, vc_out.at[idx, gi], store_sems.at[1]).wait()
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "return_stats"))
 def fused_beam_cache_attention(kc, vc, q, k_new, v_new, bias, index,
-                               interpret: bool = False):
+                               interpret: bool = False,
+                               return_stats: bool = False):
     """One fused decode step of reorder-free beam self-attention.
 
     kc/vc: (T, N, H*D) caches (aliased: returned updated in place at
@@ -240,6 +266,14 @@ def fused_beam_cache_attention(kc, vc, q, k_new, v_new, bias, index,
     0/1 mask from :func:`make_ancestry_mask` (1 at ancestor lanes with
     t < index, 0 elsewhere; converted to an additive NEG_INF bias inside the
     kernel); index: () int32. Returns (out (N, H, D) f32, kc, vc).
+
+    ``return_stats=True`` additionally returns the per-(row, head) online
+    softmax max ``m`` and denominator ``l`` (each (N, H) f32, including the
+    analytic current-step lane) so a caller can MERGE this segment's
+    normalized output with another attention segment's — the prefix-LM
+    decode joins the beam-shared image-prefix segment this way
+    (models/vision_language.py): with M = max(m, m'),
+    ``out_joint = (l*e^(m-M)*out + l'*e^(m'-M)*out') / (l*e^(m-M) + l'*e^(m'-M))``.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -269,6 +303,7 @@ def fused_beam_cache_attention(kc, vc, q, k_new, v_new, bias, index,
 
     kernel = functools.partial(
         _kernel, rows=rows, t=t, d=d, hd=hd, tchunk=tchunk,
+        return_stats=return_stats,
     )
     # under shard_map (the multi-device eval path) outputs must declare their
     # varying mesh axes; inherit them from the cache operand
@@ -288,6 +323,16 @@ def fused_beam_cache_attention(kc, vc, q, k_new, v_new, bias, index,
     # one grid step per item-group; per-group operand/output blocks are
     # pipelined by Mosaic, so VMEM residency does not scale with batch
     _rowblk = lambda gi, idx: (gi, 0)
+    out_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec((rows, hd), _rowblk),
+    ]
+    if return_stats:
+        # m/l packed per group as (rows, 128) lane blocks, first `heads`
+        # lanes real (lane dim must be a 128-multiple)
+        out_shape += [_sds((n, LANE), jnp.float32)] * 2
+        out_specs += [pl.BlockSpec((rows, LANE), _rowblk)] * 2
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(groups,),
@@ -299,11 +344,7 @@ def fused_beam_cache_attention(kc, vc, q, k_new, v_new, bias, index,
             pl.BlockSpec((rows, hd), _rowblk),  # v_new
             pl.BlockSpec((1, rows, t * rows), lambda gi, idx: (gi, 0, 0)),  # bias
         ],
-        out_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((rows, hd), _rowblk),
-        ],
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((2, t, rows, LANE), kc.dtype),  # kbuf
             pltpu.VMEM((2, t, rows, LANE), vc.dtype),  # vbuf
@@ -314,7 +355,7 @@ def fused_beam_cache_attention(kc, vc, q, k_new, v_new, bias, index,
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    kc_out, vc_out, out = pl.pallas_call(
+    results = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
@@ -322,5 +363,10 @@ def fused_beam_cache_attention(kc, vc, q, k_new, v_new, bias, index,
         interpret=interpret,
     )(idx_arr, kc4, vc4, q.reshape(n, hd), k_new.reshape(n, hd),
       v_new.reshape(n, hd), bias)
-    return (out.reshape(n, heads, d), kc_out.reshape(t, n, hd),
+    kc_out, vc_out, out = results[:3]
+    outs = (out.reshape(n, heads, d), kc_out.reshape(t, n, hd),
             vc_out.reshape(t, n, hd))
+    if return_stats:
+        m_out, l_out = results[3], results[4]
+        outs = outs + (m_out[:, :heads], l_out[:, :heads])
+    return outs
