@@ -181,9 +181,101 @@ def build_generate(module, variables, batch):
     return generate
 
 
+def bench_vl():
+    """Second-generation flagship decode (BENCH_VL=1): VisionLanguage
+    prefix-LM — ViT-base tower (CLS + 196 patches + marker = 198-token image prefix) +
+    12-layer 768-hidden causal decoder at the reference's ModernBERT vocab —
+    beam 8, blocked LM head, beam-shared prefix segment + reorder-free
+    kernel generated segment (models/vision_language.py). Prints the one
+    JSON line with vl_reports_per_sec_chip_beam8 and returns.
+    """
+    from vilmedic_tpu.blocks.transformer import (
+        TransformerConfig,
+        make_blocked_head_weights,
+        to_kernel_cache,
+    )
+    from vilmedic_tpu.blocks.vision.visual_encoder import build_visual_encoder
+    from vilmedic_tpu.decoding import beam_search, tile_for_beams
+    from vilmedic_tpu.models.vision_language import VisionLanguageModule
+
+    batch = int(os.environ.get("BENCH_VL_BATCH", 32))
+    cfg = TransformerConfig(
+        vocab_size=50368, hidden_size=768, num_hidden_layers=12,
+        num_attention_heads=12, intermediate_size=1152,
+        max_position_embeddings=1024, hidden_dropout_prob=0.0,
+        dtype=jnp.bfloat16,
+    )
+    vision = dict(
+        backbone="vit", permute="no_permute", hidden_size=768,
+        num_hidden_layers=12, num_attention_heads=12, intermediate_size=3072,
+        patch_size=16, image_size=IMAGE, freeze=True, pre_ln=True,
+    )
+    module = VisionLanguageModule(
+        cfg=cfg, vision=build_visual_encoder(vision, dtype=jnp.bfloat16),
+        num_image_tokens=(IMAGE // 16) ** 2 + 2,
+    )
+    rng = np.random.default_rng(0)
+    im0 = jnp.zeros((2, IMAGE, IMAGE, 3), jnp.float32)
+    ids0 = jnp.zeros((2, 8), jnp.int32)
+    init = jax.jit(lambda key: module.init(
+        {"params": key}, im0, ids0, jnp.ones_like(ids0)
+    ))
+    variables = init(jax.random.key(0))
+    _mark("vl init done")
+
+    @jax.jit
+    def generate(variables, images):
+        cache, prefix_kv, p = module.apply(
+            variables, images, MAX_LEN, method=VisionLanguageModule.prefill
+        )
+        cache = to_kernel_cache(tile_for_beams(cache, BEAM))
+        blocked = make_blocked_head_weights(variables["params"], cfg.dtype)
+
+        def step_fn(tokens, cache, index, anc=None):
+            logits, new_cache = module.apply(
+                variables, tokens, cache, prefix_kv, index, p,
+                blocked_head=blocked, ancestry=anc,
+                method=VisionLanguageModule.decode_step,
+            )
+            return logits, new_cache
+
+        anc_g = max(d for d in range(1, batch + 1)
+                    if batch % d == 0 and d * BEAM <= 64)
+        return beam_search(
+            step_fn, cache, batch, BEAM, MAX_LEN, bos_id=0, eos_id=2,
+            pad_id=1, length_penalty=1.0, blocked_vocab=cfg.vocab_size,
+            ancestry=True, ancestry_group_items=anc_g,
+        ).sequences
+
+    make_images = jax.jit(lambda key: jax.random.normal(
+        key, (batch, IMAGE, IMAGE, 3), jnp.float32
+    ))
+    batches = [make_images(jax.random.key(i)) for i in range(5)]
+    for b in batches:
+        np.asarray(b[0, 0, 0])
+    np.asarray(generate(variables, batches[0]))
+    _mark("vl generate compiled + warm")
+    t0 = time.perf_counter()
+    outs = [generate(variables, b) for b in batches]
+    for o in outs:
+        np.asarray(o)
+    dt = (time.perf_counter() - t0) / len(batches)
+    rps = batch / dt
+    _mark(f"vl decode {rps:.1f} rep/s")
+    print(json.dumps({
+        "metric": "vl_reports_per_sec_chip_beam8",
+        "value": round(rps, 3),
+        "unit": "reports/s/chip",
+        "vs_baseline": round(rps / ESTIMATED_A100_REFERENCE_REPORTS_PER_SEC, 3),
+    }))
+
+
 def main():
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_vilmedic_tpu")
     _mark(f"devices: {jax.devices()}")
+
+    if os.environ.get("BENCH_VL"):
+        return bench_vl()
 
     module = build_model()
     rng = np.random.default_rng(0)
