@@ -176,9 +176,14 @@ def sample(
 
 
 def stack_for_rollouts(tree):
-    """Duplicate every leaf along the batch axis (first half == second half):
-    the cache layout for ``greedy_and_sample`` (greedy rows first)."""
-    return jax.tree.map(lambda x: jnp.concatenate([x, x], axis=0), tree)
+    """Duplicate every leaf along the batch axis INTERLEAVED (row 2i greedy,
+    row 2i+1 sampled — beam-major like ``tile_for_beams(tree, 2)``): the
+    cache layout for ``greedy_and_sample``. Beam-major order lets the decode
+    step treat the two rollouts as a fold of 2 over the batch, so the
+    beam-shared cross-attention / prefix paths serve both rollouts from ONE
+    un-duplicated memory (models/scst_models.py passes cross K/V and the
+    encoder mask at batch size B)."""
+    return jax.tree.map(lambda x: jnp.repeat(x, 2, axis=0), tree)
 
 
 def greedy_and_sample(
@@ -200,9 +205,11 @@ def greedy_and_sample(
     (reference RRG_SCST.py:37-91). Decoding a short decoder is lm_head
     weight-streaming-bound, so one loop over ``2 * batch`` rows costs barely
     more than one rollout — ~1.8x faster than two loops on v5e. ``caches``
-    must be pre-duplicated with :func:`stack_for_rollouts` (greedy rows
-    first). Trajectories are bit-identical to ``greedy_search`` + ``sample``
-    with the same ``rng``.
+    must be pre-duplicated with :func:`stack_for_rollouts` (INTERLEAVED,
+    row 2i greedy / 2i+1 sampled — the beam-major layout that lets the
+    beam-shared cross-attention fold serve both rollouts from one memory).
+    Trajectories are bit-identical to ``greedy_search`` + ``sample`` with
+    the same ``rng``.
     """
     b = batch_size
 
@@ -218,22 +225,22 @@ def greedy_and_sample(
         return _mask_cache[vocab]
 
     def select(logits, i):
-        greedy_tok = jnp.argmax(logits[:b], axis=-1)
-        lg = logits[b:]
+        greedy_tok = jnp.argmax(logits[0::2], axis=-1)
+        lg = logits[1::2]
         if bad_words:
             lg = jnp.where(get_mask(lg.shape[-1])[None, :], NEG_INF, lg)
         if top_k:
             kth = _kth_largest(lg, top_k)
             lg = jnp.where(lg < kth, NEG_INF, lg)
         sampled_tok = jax.random.categorical(jax.random.fold_in(rng, i), lg, axis=-1)
-        return jnp.concatenate([greedy_tok, sampled_tok], axis=0)
+        return jnp.stack([greedy_tok, sampled_tok], axis=1).reshape(2 * b)
 
     res = _rollout(
         step_fn, caches, 2 * b, max_len, bos_id, eos_id, pad_id, select, forced_eos
     )
     return (
-        RolloutResult(res.sequences[:b], res.lengths[:b]),
-        RolloutResult(res.sequences[b:], res.lengths[b:]),
+        RolloutResult(res.sequences[0::2], res.lengths[0::2]),
+        RolloutResult(res.sequences[1::2], res.lengths[1::2]),
     )
 
 

@@ -119,16 +119,18 @@ class _SCSTBase(TaskModel):
                 variables, enc_h, max_len, method=type(module).init_cache
             )
 
-            # ONE decode loop for both rollouts (2x batch, greedy rows first):
-            # per-step cost is lm_head weight streaming, so this is ~1.8x
-            # faster than two loops on v5e — trajectories are bit-identical.
+            # ONE decode loop for both rollouts (2x batch, interleaved
+            # greedy/sampled rows): per-step cost is lm_head weight
+            # streaming, so this is ~1.8x faster than two loops on v5e —
+            # trajectories are bit-identical. Cross K/V and the encoder mask
+            # stay UN-duplicated at batch B: the interleave is beam-major, so
+            # the beam-shared cross-attention fold serves both rollouts from
+            # one memory.
             self_cache2 = stack_for_rollouts(self_cache)
-            cross_cache2 = stack_for_rollouts(cross_cache)
-            enc_m2 = stack_for_rollouts(enc_m)
 
             def step_fn(tokens, self_cache, index):
                 logits, new_self = module.apply(
-                    variables, tokens, self_cache, cross_cache2, enc_m2, index,
+                    variables, tokens, self_cache, cross_cache, enc_m, index,
                     method=type(module).decode_step,
                 )
                 return logits[:, -1].astype(jnp.float32), new_self
