@@ -492,8 +492,8 @@ def test_stats_kernel_decode_matches_default_route(monkeypatch):
 
 
 def test_greedy_and_sample_matches_separate_rollouts():
-    """The fused 2x-batch SCST rollout (greedy rows first) must reproduce
-    greedy_search + sample exactly, given the same rng."""
+    """The fused 2x-batch SCST rollout (interleaved greedy/sampled rows)
+    must reproduce greedy_search + sample exactly, given the same rng."""
     from vilmedic_tpu.decoding import (
         greedy_and_sample,
         greedy_search,
