@@ -144,6 +144,37 @@ def test_radgraph_reward_levels():
     assert reward_simple(_ann(), ref) == 0.0
 
 
+def test_radgraph_heuristic_relations():
+    """The rule-based relation layer: modify between adjacent same-family
+    entities, located_at from OBS to the nearest ANAT (following wins ties),
+    suggestive_of between consecutive OBS in hedge-cued sentences."""
+    from vilmedic_tpu.scorers.radgraph import annotation_from_ner
+
+    doc = [
+        {"text": "small effusion in the left pleura.",
+         "entities": [("small", "OBS-DP"), ("effusion", "OBS-DP"),
+                      ("left", "ANAT-DP"), ("pleura", "ANAT-DP")]},
+        {"text": "opacity suggestive of pneumonia.",
+         "entities": [("opacity", "OBS-DP"), ("pneumonia", "OBS-U")]},
+    ]
+    ann = annotation_from_ner(doc, relations="heuristic")
+    ents = ann["entities"]
+    by_tok = {e["tokens"]: (eid, e) for eid, e in ents.items()}
+
+    def rels(tok):
+        eid, e = by_tok[tok]
+        return {(t, ents[tid]["tokens"]) for t, tid in e["relations"]}
+
+    assert ("modify", "effusion") in rels("small")
+    assert ("modify", "pleura") in rels("left")
+    # nearest ANAT for both OBS is "left" (following for "effusion")
+    assert ("located_at", "left") in rels("effusion")
+    assert ("suggestive_of", "pneumonia") in rels("opacity")
+    # entity-only mode unchanged
+    ann0 = annotation_from_ner(doc, relations="none")
+    assert all(not e["relations"] for e in ann0["entities"].values())
+
+
 def test_f1radgraph_contract_with_injected_annotator():
     from vilmedic_tpu.scorers.clinical import F1RadGraph
 

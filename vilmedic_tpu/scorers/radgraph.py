@@ -17,10 +17,14 @@ any annotator.
 Entity extraction runs through :class:`~.ner.RadNER` (a converted BERT token
 classifier). **Documented approximation** (VERDICT r1 item #2): the upstream
 DyGIE++ relation extractor depends on AllenNLP and its published torch
-archive, which cannot be fetched or rebuilt offline; with an entity-only
-annotator every entity has an empty relation set, so the *partial* and
-*complete* levels degrade gracefully toward entity-only agreement. Plug a
-relation-capable annotator (``annotator=`` arg) to restore full semantics.
+archive, which cannot be fetched or rebuilt offline. By default a rule-based
+relation layer (:func:`annotation_from_ner` with ``relations="heuristic"``)
+adds modify / located_at / suggestive_of edges following RadGraph's dominant
+patterns, so the *partial* and *complete* levels carry real relation
+structure — applied symmetrically to refs and hyps the reward stays
+meaningful, though absolute numbers are not comparable to the DyGIE++ graph.
+``relations="none"`` restores entity-only annotation; plug a
+relation-capable annotator (``annotator=`` arg) for full DyGIE++ semantics.
 """
 
 from __future__ import annotations
@@ -79,14 +83,53 @@ def reward_complete(hyp_ann: Dict, ref_ann: Dict) -> float:
     return _f1(_entity_sets_complete(hyp_ann), _entity_sets_complete(ref_ann))
 
 
-def annotation_from_ner(doc: List[Dict]) -> Dict:
-    """RadNER per-report output -> radgraph-shaped annotation (no relations)."""
+def annotation_from_ner(doc: List[Dict], relations: str = "none") -> Dict:
+    """RadNER per-report output -> radgraph-shaped annotation.
+
+    ``relations="heuristic"`` adds rule-based edges following RadGraph's
+    dominant patterns (the published DyGIE++ relation extractor is
+    offline-unreproducible — see module docstring; applying ONE annotator
+    symmetrically to refs and hyps keeps the reward meaningful even though
+    absolute numbers are not comparable to the DyGIE++ graph):
+
+    - ``modify``: adjacent same-family entities in sentence order (the
+      modifier precedes its head: "left"(ANAT) -> "lobe"(ANAT),
+      "small"(OBS) -> "effusion"(OBS));
+    - ``located_at``: every OBS-* -> its nearest ANAT-DP in the sentence
+      (ties break toward the following anatomy);
+    - ``suggestive_of``: consecutive OBS pairs in sentences containing a
+      hedge cue (suggest/consistent/compatible/concerning/worrisome).
+    """
     entities = {}
     i = 1
     for sentence in doc:
+        sent_ids = []
         for text, label in sentence["entities"]:
             entities[str(i)] = {"tokens": text, "label": label, "relations": []}
+            sent_ids.append(str(i))
             i += 1
+        if relations != "heuristic" or not sent_ids:
+            continue
+        fam = lambda eid: "ANAT" if entities[eid]["label"].startswith("ANAT") else "OBS"
+        # modify: adjacent same-family pairs, modifier -> head
+        for a, b in zip(sent_ids, sent_ids[1:]):
+            if fam(a) == fam(b):
+                entities[a]["relations"].append(["modify", b])
+        # located_at: OBS -> nearest ANAT (following wins ties)
+        anat_pos = [p for p, eid in enumerate(sent_ids) if fam(eid) == "ANAT"]
+        for p, eid in enumerate(sent_ids):
+            if fam(eid) == "OBS" and anat_pos:
+                tgt = min(anat_pos, key=lambda ap: (abs(ap - p), ap < p))
+                entities[eid]["relations"].append(
+                    ["located_at", sent_ids[tgt]]
+                )
+        # suggestive_of: hedge-cued sentences chain consecutive OBS pairs
+        text_l = sentence.get("text", "").lower()
+        if any(c in text_l for c in ("suggest", "consistent", "compatible",
+                                     "concerning", "worrisome")):
+            obs_ids = [eid for eid in sent_ids if fam(eid) == "OBS"]
+            for a, b in zip(obs_ids, obs_ids[1:]):
+                entities[a]["relations"].append(["suggestive_of", b])
     return {"entities": entities}
 
 
@@ -99,7 +142,8 @@ class F1RadGraphImpl:
     LEVELS = {"simple": reward_simple, "partial": reward_partial,
               "complete": reward_complete, "all": None}
 
-    def __init__(self, reward_level: str = "all", annotator=None, **kwargs):
+    def __init__(self, reward_level: str = "all", annotator=None,
+                 relations: str = "heuristic", **kwargs):
         assert reward_level in self.LEVELS, reward_level
         self.reward_level = reward_level
         if annotator is None:
@@ -107,7 +151,8 @@ class F1RadGraphImpl:
 
             ner = RadNER()
             annotator = lambda reports: [
-                annotation_from_ner(doc) for doc in ner.extract(reports)
+                annotation_from_ner(doc, relations=relations)
+                for doc in ner.extract(reports)
             ]
         self.annotator = annotator
 
