@@ -169,3 +169,29 @@ def test_offline_mode_fails_fast(monkeypatch, tmp_path):
             tokenizer="nonexistent/never-cached-model-xyz",
             tokenizer_max_len=16, ckpt_dir=str(root),
         )
+
+
+def test_index_dataset_wrapper(tmp_path):
+    """IndexDataset proto: items and batches carry the sample index
+    (reference vilmedic/datasets/base/papers/IndexDataset.py:4-27)."""
+    from vilmedic_tpu.data.composites import IndexDataset
+
+    _write_text_dataset(tmp_path)
+    paths = _make_images(tmp_path)
+    (tmp_path / "train.image.tok").write_text("\n".join(paths))
+    ds = IndexDataset(
+        dataset="ImSeq",
+        seq=dict(root=str(tmp_path), file="report.tok", source="tgt", tokenizer_max_len=16),
+        image=dict(root=str(tmp_path), file="image.tok", resize=32, crop=28),
+        split="train",
+        ckpt_dir=str(tmp_path),
+    )
+    assert len(ds) == 6
+    item = ds[4]
+    assert item["index"] == 4
+    batch = ds.get_collate_fn()([ds[1], ds[5]])
+    assert batch["index"] == [1, 5]
+    assert batch["input_ids"].shape == (2, 16)
+    # attribute passthrough to the wrapped dataset
+    assert ds.tokenizer is ds.dataset.tokenizer
+    assert "IndexDataset" in repr(ds)

@@ -250,6 +250,45 @@ class ImSeqAny:
         return "ImSeqAny\n" + str(self.imgseq) + "\n" + str(self.any)
 
 
+@register("dataset")
+class IndexDataset:
+    """Wrap any registered dataset proto so items/batches carry their index.
+
+    Parity with reference vilmedic/datasets/base/papers/IndexDataset.py:4-27,
+    which builds a dynamic subclass via ``type(..., (ActualIndexDataset,
+    eval(dataset), object))``. Here the wrapped proto is resolved from the
+    dataset registry and composed (no eval, no dynamic MRO): ``__getitem__``
+    adds an ``index`` key and the collate appends the batch's index list,
+    everything else delegates to the wrapped dataset.
+    """
+
+    def __init__(self, dataset, **kwargs):
+        from .. import registry
+
+        self.dataset = registry.get("dataset", dataset)(**kwargs)
+
+    def __len__(self):
+        return len(self.dataset)
+
+    def __getitem__(self, index):
+        return {**self.dataset[index], "index": index}
+
+    def get_collate_fn(self):
+        inner = self.dataset.get_collate_fn()
+
+        def collate_fn(batch):
+            return {**inner(batch), "index": [s["index"] for s in batch]}
+
+        return collate_fn
+
+    def __getattr__(self, name):
+        # Tokenizer/label attributes etc. pass through to the wrapped dataset.
+        return getattr(self.__dict__["dataset"], name)
+
+    def __repr__(self):
+        return "IndexDataset with original dataset being: \n" + repr(self.dataset)
+
+
 def _as_dict(cfg):
     from ..config.config import Config
 
