@@ -195,3 +195,26 @@ def test_index_dataset_wrapper(tmp_path):
     # attribute passthrough to the wrapped dataset
     assert ds.tokenizer is ds.dataset.tokenizer
     assert "IndexDataset" in repr(ds)
+
+
+def test_to_huggingface_processor():
+    """Eval-transform -> ViTImageProcessor bridge (reference ImageDataset.py:269-284);
+    custom transforms return None per the reference's tolerant contract."""
+    from vilmedic_tpu import registry
+    from vilmedic_tpu.data.image import ImageDataset
+
+    ds = ImageDataset(split="validate", inference_only=True, resize=256, crop=224)
+    p = ds.to_huggingface_processor()
+    assert p is not None
+    assert p.image_mean == [0.485, 0.456, 0.406]
+    assert p.image_std == [0.229, 0.224, 0.225]
+    assert p.size == {"height": 224, "width": 224}
+
+    if "_IdentityT" not in registry.available("transform"):
+        @registry.register("transform")
+        class _IdentityT:
+            def __call__(self, img):
+                return img
+
+    ds2 = ImageDataset(split="validate", inference_only=True, custom_transform_validate="_IdentityT")
+    assert ds2.to_huggingface_processor() is None

@@ -370,6 +370,31 @@ class ImageDataset:
 
         return collate_fn
 
+    def to_huggingface_processor(self):
+        """Bridge the dataset's eval transform to a HF ``ViTImageProcessor``
+        (reference ImageDataset.py:269-284). Returns None when a custom
+        transform was provided (its geometry is not introspectable), matching
+        the reference's failure contract."""
+        try:
+            from transformers import ViTImageProcessor
+            from transformers.image_utils import PILImageResampling
+
+            if not isinstance(self.transform, (EvalTransform, EvalTransformU8, TrainTransform, TrainTransformU8)):
+                raise TypeError(f"custom transform {type(self.transform).__name__} is not convertible")
+            return ViTImageProcessor(
+                do_normalize=True,
+                do_resize=True,
+                do_rescale=True,
+                image_mean=[round(float(m), 6) for m in np.ravel(IMAGENET_MEAN)],
+                image_std=[round(float(s), 6) for s in np.ravel(IMAGENET_STD)],
+                resample=PILImageResampling.BILINEAR,
+                size=self.crop,
+            )
+        except Exception as e:  # same tolerant contract as the reference
+            print("custom transforms has been provided and is not compatible with this method.")
+            print(e)
+            return None
+
     def inference(self, image):
         """Build a batch from raw paths/PIL images (zoo API)."""
         if not isinstance(image, list):
