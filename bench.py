@@ -199,23 +199,30 @@ def bench_vl():
     from vilmedic_tpu.models.vision_language import VisionLanguageModule
 
     batch = int(os.environ.get("BENCH_VL_BATCH", 32))
+    # DINOv2-scale prefix knobs: BENCH_VL_IMAGE=518 BENCH_VL_PATCH=14 gives the
+    # reference flagship's ~1371-token image prefix (37x37 patches + CLS + marker),
+    # the regime the split beam-shared prefix cache was built for.
+    vl_image = int(os.environ.get("BENCH_VL_IMAGE", IMAGE))
+    vl_patch = int(os.environ.get("BENCH_VL_PATCH", 16))
+    n_prefix = (vl_image // vl_patch) ** 2 + 2
     cfg = TransformerConfig(
         vocab_size=50368, hidden_size=768, num_hidden_layers=12,
         num_attention_heads=12, intermediate_size=1152,
-        max_position_embeddings=1024, hidden_dropout_prob=0.0,
+        max_position_embeddings=max(1024, n_prefix + MAX_LEN + 4),
+        hidden_dropout_prob=0.0,
         dtype=jnp.bfloat16,
     )
     vision = dict(
         backbone="vit", permute="no_permute", hidden_size=768,
         num_hidden_layers=12, num_attention_heads=12, intermediate_size=3072,
-        patch_size=16, image_size=IMAGE, freeze=True, pre_ln=True,
+        patch_size=vl_patch, image_size=vl_image, freeze=True, pre_ln=True,
     )
     module = VisionLanguageModule(
         cfg=cfg, vision=build_visual_encoder(vision, dtype=jnp.bfloat16),
-        num_image_tokens=(IMAGE // 16) ** 2 + 2,
+        num_image_tokens=n_prefix,
     )
     rng = np.random.default_rng(0)
-    im0 = jnp.zeros((2, IMAGE, IMAGE, 3), jnp.float32)
+    im0 = jnp.zeros((2, vl_image, vl_image, 3), jnp.float32)
     ids0 = jnp.zeros((2, 8), jnp.int32)
     init = jax.jit(lambda key: module.init(
         {"params": key}, im0, ids0, jnp.ones_like(ids0)
@@ -248,7 +255,7 @@ def bench_vl():
         ).sequences
 
     make_images = jax.jit(lambda key: jax.random.normal(
-        key, (batch, IMAGE, IMAGE, 3), jnp.float32
+        key, (batch, vl_image, vl_image, 3), jnp.float32
     ))
     batches = [make_images(jax.random.key(i)) for i in range(5)]
     for b in batches:
