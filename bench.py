@@ -170,8 +170,10 @@ def build_generate(module, variables, batch):
             )
             return logits, new_self
 
-        anc_g = max(d for d in range(1, batch + 1)
-                    if batch % d == 0 and d * BEAM <= 64)
+        from vilmedic_tpu.ops.beam_cache_attention import pick_ancestry_group
+
+        anc_g = pick_ancestry_group(batch, BEAM, MAX_LEN)
+        assert anc_g is not None, (batch, BEAM, MAX_LEN)  # bench shapes are kernel-legal
         return beam_search(
             step_fn, self_cache, batch, BEAM, MAX_LEN, bos_id=0, eos_id=2, pad_id=1,
             length_penalty=1.0, blocked_vocab=VOCAB, ancestry=True,
@@ -246,8 +248,10 @@ def bench_vl():
             )
             return logits, new_cache
 
-        anc_g = max(d for d in range(1, batch + 1)
-                    if batch % d == 0 and d * BEAM <= 64)
+        from vilmedic_tpu.ops.beam_cache_attention import pick_ancestry_group
+
+        anc_g = pick_ancestry_group(batch, BEAM, MAX_LEN)
+        assert anc_g is not None, (batch, BEAM, MAX_LEN)  # bench shapes are kernel-legal
         return beam_search(
             step_fn, cache, batch, BEAM, MAX_LEN, bos_id=0, eos_id=2,
             pad_id=1, length_penalty=1.0, blocked_vocab=cfg.vocab_size,
@@ -594,10 +598,12 @@ def bench_scst(module, variables):
     trainor = types.SimpleNamespace(tx=tx, rng=jax.random.key(9))
 
     state, loss, _ = model.train_iteration(trainor, state, batch, 5e-5)  # compile
+    float(loss)  # drain compile-step work before timing
     N = 3
     t0 = time.perf_counter()
     for _ in range(N):
         state, loss, _ = model.train_iteration(trainor, state, batch, 5e-5)
+    float(loss)  # force the last grad step (block_until_ready is a no-op on axon)
     dt = (time.perf_counter() - t0) / N
     return round(scst_batch / dt, 3)
 

@@ -105,6 +105,12 @@ def extract_pairs(reports, findings_candidates, typo_rev):
         if names.count("impression") != 1:
             continue
         impression = bodies[names.index("impression")]
+        # UPSTREAM-QUIRK-FAITHFUL: the notebook removes "impression" from the
+        # names list but not its body (cell 16: ``section_names.remove(...)``
+        # then ``sections[section_names.index(m[0])]``), so any findings
+        # candidate located AFTER the impression section resolves to the
+        # body one slot earlier. Kept bit-exact so the published splits
+        # reproduce; locked by test_mimic_iii.py::test_quirk_findings_after_impression.
         names.remove("impression")
         findings = ""
         for cand, _freq in findings_candidates:

@@ -253,3 +253,85 @@ def test_pallas_beam_search_matches_permute():
         np.testing.assert_allclose(
             np.asarray(r0.scores), np.asarray(r1.scores), rtol=2e-6, atol=2e-6
         )
+
+
+def test_pick_ancestry_group_legality():
+    """TPU slab legality in one place (pick_ancestry_group): rows<=64 VMEM,
+    rows%8 bitcast, and a 128-aligned t-chunk that depends on max_len's
+    divisors — e.g. at t=100 only 32-multiples are legal."""
+    from vilmedic_tpu.ops.beam_cache_attention import (
+        kernel_rows_ok,
+        pick_ancestry_group,
+    )
+
+    # bench/eval headline shapes keep their picks
+    assert pick_ancestry_group(128, 8, 100, interpret=False) == 8
+    assert pick_ancestry_group(32, 8, 100, interpret=False) == 8
+    # no legal group -> None (previously these tripped kernel trace asserts
+    # on TPU: rows%8 for 3x4, the t-chunk rule for 6x8=48 rows at t=100)
+    assert pick_ancestry_group(3, 4, 100, interpret=False) is None
+    assert pick_ancestry_group(6, 8, 100, interpret=False) is None
+    assert pick_ancestry_group(4, 8, 100, interpret=False) == 4  # rows 32
+    assert not kernel_rows_ok(48, 100) and kernel_rows_ok(32, 100)
+    assert kernel_rows_ok(16, 128)  # t=128: c=8 aligns 8*16
+    # interpret mode (CPU tests) only keeps the VMEM bound
+    assert pick_ancestry_group(3, 4, 100, interpret=True) == 3
+    assert kernel_rows_ok(12, 100, interpret=True)
+    assert not kernel_rows_ok(96, 100, interpret=True)
+
+
+def test_generate_falls_back_when_no_legal_group(monkeypatch):
+    """When no kernel group size is legal for the batch/beam/max_len, the
+    eval path must fall back to the cache-permute route (same sequences)
+    instead of tracing the kernel."""
+    from vilmedic_tpu.blocks.transformer import TransformerConfig
+    from vilmedic_tpu.models import evaluation_nlg
+    from vilmedic_tpu.models.rrs import RRSModule
+    from vilmedic_tpu.ops import beam_cache_attention as bca
+
+    enc_cfg = TransformerConfig(
+        vocab_size=97, hidden_size=128, num_hidden_layers=1,
+        num_attention_heads=2, intermediate_size=64,
+        max_position_embeddings=32,
+    )
+    dec_cfg = TransformerConfig(
+        vocab_size=211, hidden_size=128, num_hidden_layers=1,
+        num_attention_heads=2, intermediate_size=64,
+        max_position_embeddings=32, add_cross_attention=True,
+    )
+    rng = np.random.default_rng(0)
+    b, t = 3, 6
+    ids = jnp.asarray(rng.integers(3, 97, (b, t)), jnp.int32)
+    mask = jnp.ones((b, t), jnp.int32)
+    module = RRSModule(enc_config=enc_cfg, dec_config=dec_cfg)
+    variables = module.init(
+        jax.random.key(0), ids, mask,
+        jnp.asarray(rng.integers(3, 211, (b, 5)), jnp.int32),
+        jnp.ones((b, 5), jnp.int32),
+    )
+
+    class _Shim:
+        pass
+
+    m = _Shim()
+    m.module = module
+    m.dec_config = dec_cfg
+    enc_inputs = {"input_ids": ids, "attention_mask": mask}
+
+    monkeypatch.setenv("VILMEDIC_ANCESTRY_DECODE", "0")
+    plain = evaluation_nlg.make_generate_fn(
+        [m], beam_width=4, max_len=7, bos_id=0, eos_id=1, pad_id=2,
+        length_penalty=1.0,
+    )
+    seq_plain = np.asarray(plain([variables], enc_inputs))
+
+    # force "no legal group" (as on TPU for batch 3 x beam 4) through the
+    # default kernel-preferring path
+    monkeypatch.setenv("VILMEDIC_ANCESTRY_DECODE", "pallas")
+    monkeypatch.setattr(bca, "pick_ancestry_group", lambda *a, **k: None)
+    fb = evaluation_nlg.make_generate_fn(
+        [m], beam_width=4, max_len=7, bos_id=0, eos_id=1, pad_id=2,
+        length_penalty=1.0,
+    )
+    seq_fb = np.asarray(fb([variables], enc_inputs))
+    np.testing.assert_array_equal(seq_plain, seq_fb)

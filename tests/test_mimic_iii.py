@@ -72,6 +72,24 @@ def test_findings_priority_order():
     assert pairs2 == [("fallback body.", "ok.")]
 
 
+def test_quirk_findings_after_impression():
+    """UPSTREAM-QUIRK-FAITHFUL: the notebook removes 'impression' from the
+    names list but not from the bodies list (cell 16), so a findings candidate
+    AFTER the impression section resolves one body slot early. Locked so the
+    published splits keep reproducing (preprocess_mimic_iii.py:108)."""
+    _, rev, fm = m3.load_tables()
+    text = (
+        "  FINAL REPORT\n"
+        " INDICATION:  fall.\n\n"
+        " IMPRESSION:  no acute process.\n\n"
+        " FINDINGS:  real findings body.\n"
+    )
+    pairs = m3.extract_pairs([text], fm["CT_head"], rev)
+    # names after remove: [preamble, indication, findings]; bodies unchanged ->
+    # index('findings')=2 selects bodies[2] = the impression text (notebook-exact)
+    assert pairs == [("no acute process.", "no acute process.")]
+
+
 def test_anonymization_and_whitespace():
     assert m3.clean("seen [**2150-1-1**] by  [**Doctor**]") == "seen ___ by ___"
 

@@ -283,7 +283,10 @@ class IndexDataset:
 
     def __getattr__(self, name):
         # Tokenizer/label attributes etc. pass through to the wrapped dataset.
-        return getattr(self.__dict__["dataset"], name)
+        dataset = self.__dict__.get("dataset")
+        if dataset is None:  # probed before __init__ finished (or unpickling)
+            raise AttributeError(name)
+        return getattr(dataset, name)
 
     def __repr__(self):
         return "IndexDataset with original dataset being: \n" + repr(self.dataset)

@@ -375,12 +375,15 @@ class ImageDataset:
         (reference ImageDataset.py:269-284). Returns None when a custom
         transform was provided (its geometry is not introspectable), matching
         the reference's failure contract."""
+        if not isinstance(
+            self.transform, (EvalTransform, EvalTransformU8, TrainTransform, TrainTransformU8)
+        ):
+            print("custom transforms has been provided and is not compatible with this method.")
+            return None
         try:
             from transformers import ViTImageProcessor
             from transformers.image_utils import PILImageResampling
 
-            if not isinstance(self.transform, (EvalTransform, EvalTransformU8, TrainTransform, TrainTransformU8)):
-                raise TypeError(f"custom transform {type(self.transform).__name__} is not convertible")
             return ViTImageProcessor(
                 do_normalize=True,
                 do_resize=True,
@@ -390,9 +393,8 @@ class ImageDataset:
                 resample=PILImageResampling.BILINEAR,
                 size=self.crop,
             )
-        except Exception as e:  # same tolerant contract as the reference
-            print("custom transforms has been provided and is not compatible with this method.")
-            print(e)
+        except Exception as e:  # tolerant contract as the reference, honest message
+            print(f"could not build a ViTImageProcessor: {e}")
             return None
 
     def inference(self, image):

@@ -118,6 +118,19 @@ def make_generate_fn(models, beam_width, max_len, bos_id, eos_id, pad_id, length
     def generate(variables_list, enc_inputs):
         batch_size = jax.tree.leaves(enc_inputs)[0].shape[0]
         tiling = beam_width if beam_width and beam_width > 1 else 1
+        # items per kernel group: biggest legal slab for THIS batch/max_len
+        # (encodes rows<=64 VMEM, rows%8 bitcast, 128-aligned t-chunk); None
+        # means no legal group — fall back to the cache-permute path rather
+        # than tripping the kernel's trace-time asserts
+        anc_g = None
+        if use_kernel_cache and tiling > 1:
+            from ..ops.beam_cache_attention import pick_ancestry_group
+
+            anc_g = pick_ancestry_group(batch_size, beam_width, max_len)
+        kernel_now = use_kernel_cache and anc_g is not None
+        ancestry_now = use_ancestry and (
+            ancestry_impl in ("1", "xla") or kernel_now
+        )
         self_caches, invariants = [], []
         for module, method, variables in zip(modules, encode_methods, variables_list):
             enc_h, enc_m = module.apply(variables, **enc_inputs, method=method)
@@ -133,7 +146,7 @@ def make_generate_fn(models, beam_width, max_len, bos_id, eos_id, pad_id, length
                 # into the decode loop and rematerialize + read a beam-tiled
                 # cross K/V every step (~150 us/step at bench shapes, v5e)
                 self_cache = tile_for_beams(self_cache, tiling)
-            if use_kernel_cache:
+            if kernel_now:
                 from ..blocks.transformer import to_kernel_cache
 
                 self_cache = to_kernel_cache(self_cache)
@@ -213,17 +226,11 @@ def make_generate_fn(models, beam_width, max_len, bos_id, eos_id, pad_id, length
             return logits_sum, new_states
 
         if tiling > 1:
-            anc_g = None
-            if use_kernel_cache:
-                # items per kernel group: biggest divisor with <= 64 rows
-                # (VMEM: the 16 MB scoped limit bounds slab + score buffers)
-                anc_g = max(d for d in range(1, batch_size + 1)
-                            if batch_size % d == 0 and d * beam_width <= 64)
             result = beam_search(
                 step_fn, self_caches, batch_size, beam_width, max_len,
                 bos_id, eos_id, pad_id, length_penalty=length_penalty,
                 vary_axes=vary_axes, blocked_vocab=blocked_vocab,
-                ancestry=use_ancestry, ancestry_group_items=anc_g,
+                ancestry=ancestry_now, ancestry_group_items=anc_g,
             )
             return result.sequences
         return greedy_search(

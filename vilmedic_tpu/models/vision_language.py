@@ -270,12 +270,20 @@ def vl_evaluation(models, config, dl, from_training=True, **kwargs) -> Dict[str,
             variables, images, max_len, method=type(module).prefill
         )
         batch = images.shape[0]
+        # biggest legal kernel group for THIS batch/max_len (shared helper —
+        # encodes the fused kernel's slab-legality rules); None -> permute path
+        anc_g = None
+        if kernel_ok and beam_width > 1:
+            from ..ops.beam_cache_attention import pick_ancestry_group
+
+            anc_g = pick_ancestry_group(batch, beam_width, max_len)
+        kernel_now = bool(kernel_ok) and anc_g is not None
         if beam_width > 1:
             # only the generated-token cache tiles to B*beam rows; the prefix
             # K/V stay at batch B as loop invariants (prefix_decode folds the
             # beam axis) — never gathered on beam reorder
             cache = tile_for_beams(cache, beam_width)
-        if kernel_ok:
+        if kernel_now:
             from ..blocks.transformer import to_kernel_cache
 
             # (T, N, H*D) kernel layout: in-place slab writes, cache carried
@@ -315,16 +323,11 @@ def vl_evaluation(models, config, dl, from_training=True, **kwargs) -> Dict[str,
             return logits[:, -1].astype(jnp.float32), new_cache
 
         if beam_width > 1:
-            anc_g = None
-            if kernel_ok:
-                # items per kernel group: biggest divisor with <= 64 rows
-                anc_g = max(d for d in range(1, batch + 1)
-                            if batch % d == 0 and d * beam_width <= 64)
             return beam_search(
                 step_fn, cache, batch, beam_width, max_len, bos_id, eos_id,
                 pad_id, length_penalty, vary_axes=vary_axes,
                 blocked_vocab=vocab if blocked is not None else None,
-                ancestry=bool(kernel_ok), ancestry_group_items=anc_g,
+                ancestry=kernel_now, ancestry_group_items=anc_g,
             ).sequences
         return greedy_search(
             step_fn, cache, batch, max_len, bos_id, eos_id, pad_id,
@@ -356,10 +359,14 @@ def vl_evaluation(models, config, dl, from_training=True, **kwargs) -> Dict[str,
 
     refs, hyps = [], []
     for batch in dl:
-        images = jnp.asarray(batch["images"])
+        images = np.asarray(batch["images"])
         n = images.shape[0]
         if pad_target and n < pad_target:  # static-shape padding for XLA
+            # pad on host BEFORE any device transfer (same order as
+            # evaluation_nlg) — padding a device array would round-trip the
+            # whole image batch through the host
             images = _pad_batch(images, pad_target)
+        images = jnp.asarray(images)
         if mesh is not None:
             images = shard_batch(images, mesh)
         seqs = np.asarray(generate(variables, images))[:n]

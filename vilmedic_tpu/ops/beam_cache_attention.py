@@ -255,6 +255,50 @@ def _kernel(idx_ref, kc_hbm, vc_hbm, q_ref, knew_ref, vnew_ref, bias_ref,
     pltpu.make_async_copy(vnew_ref, vc_out.at[idx, gi], store_sems.at[1]).wait()
 
 
+def kernel_rows_ok(rows: int, t: int, interpret: bool = False) -> bool:
+    """True iff the fused kernel accepts ``rows``-row slabs with a T=``t`` cache.
+
+    Encodes (in one place) the legality constraints asserted inside
+    :func:`fused_beam_cache_attention`:
+
+    - ``rows <= 64``: slab + score VMEM buffers within the 16 MB scoped limit;
+    - ``rows % 8 == 0``: the (T, groups, rows, H*D) cache view stays a pure
+      bitcast of (T, N, H*D) (tile-aligned sublane split);
+    - some t-chunk ``c`` dividing ``t`` keeps the mask lane slices 128-aligned
+      (``c * rows % 128 == 0``) — depends on the divisors of ``t``, e.g. at
+      t=100 only multiples of 32 qualify.
+
+    ``interpret=True`` (the CPU test mode) mirrors the kernel's own
+    ``assert interpret or ...`` relaxation: only the VMEM bound applies.
+    """
+    if rows <= 0 or rows > 64:
+        return False
+    if interpret:
+        return True
+    if rows % 8:
+        return False
+    return any(t % c == 0 and (c * rows) % LANE == 0 for c in range(1, t + 1))
+
+
+def pick_ancestry_group(batch_items: int, beam_width: int, t: int,
+                        interpret=None):
+    """Biggest divisor ``g`` of ``batch_items`` whose ``g * beam_width``-row
+    slab is legal for the fused kernel (:func:`kernel_rows_ok`), or None when
+    no group size is legal — callers must then fall back to the cache-permute
+    beam-search path instead of tracing the kernel.
+
+    ``interpret`` defaults to the same backend test the kernel call sites use
+    (CPU -> pallas interpret mode, where Mosaic tiling rules don't apply).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    best = None
+    for g in range(1, batch_items + 1):
+        if batch_items % g == 0 and kernel_rows_ok(g * beam_width, t, interpret):
+            best = g
+    return best
+
+
 @functools.partial(jax.jit, static_argnames=("interpret", "return_stats"))
 def fused_beam_cache_attention(kc, vc, q, k_new, v_new, bias, index,
                                interpret: bool = False,
