@@ -29,6 +29,81 @@ def _pad_batch(arr: np.ndarray, target: int) -> np.ndarray:
     return np.concatenate([arr, reps], axis=0)
 
 
+def setup_sharded_eval(config, batch_size):
+    """Shared SPMD eval policy for the generation eval_funcs (RRG/RRS here,
+    VL in models/vision_language.py): data-parallel eval is the DEFAULT on
+    multi-device (``shard_eval: false`` disables); batches pad up to the
+    nearest device-count multiple for static even sharding; params replicate
+    onto the local eval mesh once up front. Multi-host: each process decodes
+    its own dataloader shard on its LOCAL devices (the reference's per-rank
+    eval, validator_accelerate.py:112-119) and the trained state lives on a
+    GLOBAL mesh, so replication stages through host numpy (replicated arrays
+    are fully addressable per host).
+
+    Returns ``(mesh, pad_target, replicate)`` — ``mesh`` is None when eval is
+    unsharded, ``replicate(tree)`` places a param tree on the eval mesh.
+    """
+    import math
+
+    devices = jax.local_devices()
+    n_dev = len(devices)
+    shard_eval = config.get("shard_eval", None)
+    if shard_eval is None:
+        shard_eval = n_dev > 1
+    pad_target = int(batch_size) if batch_size else None
+    if not (shard_eval and n_dev > 1 and batch_size):
+        return None, pad_target, lambda tree: tree
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel.mesh import get_mesh
+
+    mesh = get_mesh(devices=devices)
+    pad_target = math.ceil(int(batch_size) / n_dev) * n_dev
+    repl = NamedSharding(mesh, P())
+
+    def replicate(tree):
+        if jax.process_count() > 1:
+            tree = jax.tree.map(lambda x: np.asarray(x), tree)
+        return jax.device_put(tree, repl)
+
+    return mesh, pad_target, replicate
+
+
+def wrap_generate_sharded(generate, mesh, uses_pallas_kernel):
+    """jit ``generate(variables, inputs)``; with a mesh, run it under
+    ``shard_map`` over the data axis (decode fully shard-local).
+
+    ``uses_pallas_kernel`` scopes the CPU-INTERPRET-MODE-ONLY ``check_vma``
+    workaround: discharge of the fused kernel's DMA primitives inside
+    shard_map trips jax's vma matching (dynamic_slice on a varying buffer with
+    unvarying scratch operands — jax hlo_interpreter limitation). On real TPU
+    the pallas_call stays a custom call with vma declared from its cache
+    operand, so the default multi-device path keeps full vma verification;
+    CPU-path numerics are still asserted sharded-vs-unsharded in tests.
+    """
+    if mesh is None:
+        return jax.jit(generate)
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import DATA_AXIS
+
+    kwargs = {}
+    if uses_pallas_kernel and jax.default_backend() == "cpu":
+        kwargs["check_vma"] = False
+    return jax.jit(
+        shard_map(
+            generate,
+            mesh=mesh,
+            in_specs=(P(), P(DATA_AXIS)),
+            out_specs=P(DATA_AXIS),
+            **kwargs,
+        )
+    )
+
+
 def make_generate_fn(models, beam_width, max_len, bos_id, eos_id, pad_id, length_penalty,
                      mesh=None):
     """Build a jitted ensembling generate over (variables_list, encoder inputs).
@@ -238,33 +313,7 @@ def make_generate_fn(models, beam_width, max_len, bos_id, eos_id, pad_id, length
             forced_eos=False, vary_axes=vary_axes,
         ).sequences
 
-    if mesh is not None:
-        from jax import shard_map
-        from jax.sharding import PartitionSpec as P
-
-        from ..parallel.mesh import DATA_AXIS
-
-        kwargs = {}
-        if use_kernel_cache and jax.default_backend() == "cpu":
-            # INTERPRET-MODE ONLY workaround: discharge of the kernel's DMA
-            # primitives inside shard_map trips jax's vma matching
-            # (dynamic_slice on a varying buffer with unvarying scratch
-            # operands — jax hlo_interpreter limitation). On real TPU the
-            # pallas_call stays a custom call with vma declared from its cache
-            # operand, so the default multi-device path keeps full vma
-            # verification; numerics on the CPU path are still asserted
-            # sharded-vs-unsharded and the HLO collective-free in tests.
-            kwargs["check_vma"] = False
-        return jax.jit(
-            shard_map(
-                generate,
-                mesh=mesh,
-                in_specs=(P(), P(DATA_AXIS)),
-                out_specs=P(DATA_AXIS),
-                **kwargs,
-            )
-        )
-    return jax.jit(generate)
+    return wrap_generate_sharded(generate, mesh, use_kernel_cache)
 
 
 def evaluation(models, config, dl, from_training=True, **kwargs) -> Dict[str, Any]:
@@ -287,40 +336,14 @@ def evaluation(models, config, dl, from_training=True, **kwargs) -> Dict[str, An
     variables_list = [m.variables for m in models]
     batch_size = getattr(dl, "batch_size", None)
 
-    # Data-parallel generation — DEFAULT on multi-device (``shard_eval: false``
-    # to disable): the generate fn runs under shard_map so decode is fully
-    # shard-local (see make_generate_fn). Batches are padded up to the nearest
-    # multiple of the device count for static even sharding. Multi-host: each
-    # process decodes its own dataloader shard on its LOCAL devices (the
-    # reference's per-rank eval, validator_accelerate.py:112-119); the Validator
-    # gathers refs/hyps across processes afterwards.
-    import math
+    # Data-parallel generation (setup_sharded_eval): shard_map'd decode,
+    # device-multiple batch padding, params replicated onto the eval mesh;
+    # the Validator gathers refs/hyps across processes afterwards.
+    from ..parallel.mesh import shard_batch
 
-    devices = jax.local_devices()
-    n_dev = len(devices)
-    shard_eval = config.get("shard_eval", None)
-    if shard_eval is None:
-        shard_eval = n_dev > 1
-    mesh = None
-    pad_target = int(batch_size) if batch_size else None
-    if shard_eval and n_dev > 1 and batch_size:
-        from ..parallel.mesh import get_mesh, shard_batch
-
-        mesh = get_mesh(devices=devices)
-        pad_target = math.ceil(int(batch_size) / n_dev) * n_dev
-        # params may be committed to a different (training) mesh — replicate
-        # them onto the local eval mesh once up front. Multi-host: the trained
-        # state lives on a GLOBAL mesh; a direct device_put would need
-        # cross-host transfers, so stage through host numpy (replicated
-        # arrays are fully addressable per host).
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        repl = NamedSharding(mesh, P())
-        if jax.process_count() > 1:
-            variables_list = [
-                jax.tree.map(lambda x: np.asarray(x), v) for v in variables_list
-            ]
-        variables_list = [jax.device_put(v, repl) for v in variables_list]
+    mesh, pad_target, replicate = setup_sharded_eval(config, batch_size)
+    if mesh is not None:
+        variables_list = [replicate(v) for v in variables_list]
 
     generate = make_generate_fn(
         models, beam_width, int(max_len), bos_id, eos_id, pad_id, length_penalty,

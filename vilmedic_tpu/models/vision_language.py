@@ -225,11 +225,8 @@ def vl_evaluation(models, config, dl, from_training=True, **kwargs) -> Dict[str,
     beam_width = int(config.get("beam_width", 1) or 1)
     length_penalty = float(config.get("length_penalty") or 1.0)
 
-    # Data-parallel generation — DEFAULT on multi-device, same policy as the
-    # RRG/RRS eval (evaluation_nlg.evaluation): decode runs shard-local under
-    # shard_map, batches pad to a device-count multiple, params replicate
-    # onto the local eval mesh. ``shard_eval: false`` disables.
-    import math
+    # Data-parallel generation — SAME policy/helpers as the RRG/RRS eval
+    # (evaluation_nlg.setup_sharded_eval / wrap_generate_sharded).
     import os
 
     # Reorder-free beam decode for the generated segment (same policy as
@@ -245,25 +242,13 @@ def vl_evaluation(models, config, dl, from_training=True, **kwargs) -> Dict[str,
         and ancestry_impl == "pallas"
     )
 
+    from .evaluation_nlg import setup_sharded_eval, wrap_generate_sharded
+
     variables = model.variables
     batch_size = getattr(dl, "batch_size", None)
-    devices = jax.local_devices()
-    n_dev = len(devices)
-    shard_eval = config.get("shard_eval", None)
-    if shard_eval is None:
-        shard_eval = n_dev > 1
-    mesh = None
-    pad_target = int(batch_size) if batch_size else None
-    if shard_eval and n_dev > 1 and batch_size:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        from ..parallel.mesh import get_mesh
-
-        mesh = get_mesh(devices=devices)
-        pad_target = math.ceil(int(batch_size) / n_dev) * n_dev
-        if jax.process_count() > 1:
-            variables = jax.tree.map(lambda x: np.asarray(x), variables)
-        variables = jax.device_put(variables, NamedSharding(mesh, P()))
+    mesh, pad_target, replicate = setup_sharded_eval(config, batch_size)
+    if mesh is not None:
+        variables = replicate(variables)
 
     def generate(variables, images):
         cache, prefix_kv, prefix_len = module.apply(
@@ -334,25 +319,7 @@ def vl_evaluation(models, config, dl, from_training=True, **kwargs) -> Dict[str,
             forced_eos=False, vary_axes=vary_axes,
         ).sequences
 
-    if mesh is not None:
-        from jax import shard_map
-        from jax.sharding import PartitionSpec as P
-
-        from ..parallel.mesh import DATA_AXIS
-
-        kwargs = {}
-        if kernel_ok and jax.default_backend() == "cpu":
-            # INTERPRET-MODE ONLY workaround, same scope and rationale as
-            # evaluation_nlg.make_generate_fn: discharge of the kernel's DMA
-            # primitives inside shard_map trips jax's vma matching on CPU;
-            # real-TPU keeps full vma verification.
-            kwargs["check_vma"] = False
-        generate = jax.jit(shard_map(
-            generate, mesh=mesh, in_specs=(P(), P(DATA_AXIS)),
-            out_specs=P(DATA_AXIS), **kwargs,
-        ))
-    else:
-        generate = jax.jit(generate)
+    generate = wrap_generate_sharded(generate, mesh, bool(kernel_ok))
 
     from ..models.evaluation_nlg import _pad_batch
     from ..parallel.mesh import shard_batch
