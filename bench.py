@@ -183,14 +183,10 @@ def build_generate(module, variables, batch):
     return generate
 
 
-def bench_vl():
-    """Second-generation flagship decode (BENCH_VL=1): VisionLanguage
-    prefix-LM — ViT-base tower (CLS + 196 patches + marker = 198-token image prefix) +
-    12-layer 768-hidden causal decoder at the reference's ModernBERT vocab —
-    beam 8, blocked LM head, beam-shared prefix segment + reorder-free
-    kernel generated segment (models/vision_language.py). Prints the one
-    JSON line with vl_reports_per_sec_chip_beam8 and returns.
-    """
+def build_vl():
+    """Build the BENCH_VL model + jitted beam-8 generate (also used by
+    experiments/profile_vl.py). Returns (module, variables, generate, batch,
+    vl_image, n_prefix)."""
     from vilmedic_tpu.blocks.transformer import (
         TransformerConfig,
         make_blocked_head_weights,
@@ -258,6 +254,19 @@ def bench_vl():
             ancestry=True, ancestry_group_items=anc_g,
         ).sequences
 
+    return module, variables, generate, batch, vl_image, n_prefix
+
+
+def bench_vl():
+    """Second-generation flagship decode (BENCH_VL=1): VisionLanguage
+    prefix-LM — ViT-base tower (CLS + patches + marker image prefix; 198
+    tokens at the default 224px/16, DINOv2-scale 1371 at 518px/14) +
+    12-layer 768-hidden causal decoder at the reference's ModernBERT vocab —
+    beam 8, blocked LM head, beam-shared prefix segment + reorder-free
+    kernel generated segment (models/vision_language.py). Prints the one
+    JSON line with vl_reports_per_sec_chip_beam8 and returns.
+    """
+    module, variables, generate, batch, vl_image, n_prefix = build_vl()
     make_images = jax.jit(lambda key: jax.random.normal(
         key, (batch, vl_image, vl_image, 3), jnp.float32
     ))
