@@ -25,3 +25,78 @@ def test_flash_matches_reference(tq, tk, mask):
     got = flash_attention(q, k, v, key_mask=key_mask, block_q=64, block_k=64)
     np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
                                rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("tq,tk,mask", [(128, 128, False), (100, 130, True),
+                                        (130, 130, True)])
+def test_causal_flash_matches_reference(tq, tk, mask):
+    """causal=True: query r sees key c iff c <= r + Tk - Tq; blocks above the
+    diagonal are skipped in the kernel loop. The key mask is realistic
+    suffix padding (a fully-masked QUERY row — a pad query — is semantically
+    undefined and its output ignored downstream, so only valid rows compare)."""
+    rng = np.random.default_rng(1)
+    b, h, d = 2, 3, 32
+    q = jnp.asarray(rng.normal(size=(b, tq, h, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, tk, h, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, tk, h, d)), jnp.float32)
+    key_mask = None
+    bias = None
+    valid = tq
+    if mask:
+        n_valid = tk - 17
+        key_mask = jnp.asarray(
+            (np.arange(tk) < n_valid)[None].repeat(b, 0), jnp.int32
+        )
+        bias = make_attention_bias(key_mask=key_mask)
+        valid = min(tq, n_valid - (tk - tq))
+
+    expected = dot_product_attention(q, k, v, bias=bias, causal=True)
+    got = flash_attention(q, k, v, key_mask=key_mask, block_q=64, block_k=64,
+                          causal=True)
+    np.testing.assert_allclose(np.asarray(got)[:, :valid],
+                               np.asarray(expected)[:, :valid],
+                               rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_flash_attention_is_differentiable(causal):
+    """The kernel carries a custom VJP (XLA-recompute backward) so the
+    long-sequence TRAIN routing is grad-safe — previously jax.grad through the
+    FLASH_MIN_LEN routing raised (pallas_call has no reverse-mode rule)."""
+    rng = np.random.default_rng(2)
+    b, t, h, d = 1, 128, 2, 32
+    q = jnp.asarray(rng.normal(size=(b, t, h, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, t, h, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, t, h, d)), jnp.float32)
+    # contiguous suffix padding: under causal, every valid query row keeps at
+    # least its own key, so no row is degenerate (fully masked) — pad-query
+    # outputs (rows >= n_valid) differ between impls and would pollute grads
+    key_mask = jnp.asarray((np.arange(t) < t - 9)[None].repeat(b, 0), jnp.int32)
+    bias = make_attention_bias(key_mask=key_mask)
+
+    def f_flash(q, k, v):
+        return (flash_attention(q, k, v, key_mask=key_mask, block_q=64,
+                                block_k=64, causal=causal) ** 2).sum()
+
+    def f_ref(q, k, v):
+        return (dot_product_attention(q, k, v, bias=bias, causal=causal) ** 2).sum()
+
+    g_flash = jax.grad(f_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+    for gf, gr in zip(g_flash, g_ref):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                   rtol=2e-3, atol=2e-3)
+
+
+def test_long_seq_attention_routing_is_grad_safe():
+    """dot_product_attention at >= FLASH_MIN_LEN routes to the flash kernel;
+    training forwards at that length (multi-image patch concat, DINOv2-scale
+    VL prefix) must be differentiable through the routing."""
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.normal(size=(1, 1024, 2, 32)), jnp.float32)
+
+    def f(q):
+        return dot_product_attention(q, q, q, causal=True).sum()
+
+    g = jax.grad(f)(q)
+    assert np.isfinite(np.asarray(g)).all()

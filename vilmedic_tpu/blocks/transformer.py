@@ -183,6 +183,7 @@ class MultiHeadAttention(nn.Module):
         cache: Optional[Dict[str, jnp.ndarray]] = None,
         decode_index: Optional[jnp.ndarray] = None,
         ancestry: Optional[jnp.ndarray] = None,
+        causal: bool = False,
     ):
         q = self._split(self.q_proj(x))
         new_cache = None
@@ -267,7 +268,9 @@ class MultiHeadAttention(nn.Module):
                     return self.o_proj(self._merge(out)), new_cache
             else:
                 k, v = k_new, v_new
-        out = dot_product_attention(q, k, v, bias=bias, dtype=self.config.dtype)
+        out = dot_product_attention(
+            q, k, v, bias=bias, dtype=self.config.dtype, causal=causal
+        )
         return self.o_proj(self._merge(out)), new_cache
 
     def prefix_decode(self, x, prefix_kv, cache, decode_index, ancestry=None):

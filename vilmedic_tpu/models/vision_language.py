@@ -50,7 +50,7 @@ class CausalLayer(nn.Module):
         self.dropout = nn.Dropout(cfg.hidden_dropout_prob)
 
     def __call__(self, x, bias=None, deterministic=True, cache=None, decode_index=None,
-                 prefix_kv=None, ancestry=None):
+                 prefix_kv=None, ancestry=None, causal=False):
         if prefix_kv is not None:
             # beam-shared prefix decode: one joint softmax over the shared
             # prefix K/V (batch B) + the per-beam generated cache (fused
@@ -60,7 +60,8 @@ class CausalLayer(nn.Module):
             )
         else:
             attn, new_cache = self.self_attn(
-                x, bias=bias, cache=cache, decode_index=decode_index
+                x, bias=bias, cache=cache, decode_index=decode_index,
+                causal=causal,
             )
         x = self.self_ln(x + self.dropout(attn, deterministic=deterministic))
         x = self.ffn_ln(x + self.ffn(x, deterministic=deterministic))
@@ -118,11 +119,12 @@ class VisionLanguageModule(nn.Module):
         key_mask = jnp.concatenate(
             [jnp.ones((h.shape[0], p), jnp.int32), attention_mask], axis=1
         )
-        bias = make_attention_bias(
-            key_mask=key_mask, causal=True, query_len=total, key_len=total
-        )
+        # key-padding-only bias + causal flag (NOT a dense triangle bias): at
+        # DINOv2 prefix lengths the attention routes through the causal flash
+        # kernel (ops/attention FLASH_MIN_LEN) — train-safe via its custom VJP
+        bias = make_attention_bias(key_mask=key_mask)
         for layer in self.layers:
-            h, _ = layer(h, bias=bias, deterministic=not train)
+            h, _ = layer(h, bias=bias, deterministic=not train, causal=True)
         logits = self.lm_head(h[:, p:]).astype(jnp.float32)
 
         from ..blocks.transformer import causal_lm_loss
@@ -145,7 +147,6 @@ class VisionLanguageModule(nn.Module):
         cfg = self.cfg
         prefix = self.image_prefix(images, train=False)
         b, p, _ = prefix.shape
-        bias = make_attention_bias(causal=True, query_len=p, key_len=p)
 
         h = prefix.astype(cfg.dtype)
         gen_caches, prefix_kvs = [], []
@@ -156,7 +157,7 @@ class VisionLanguageModule(nn.Module):
             prefix_kvs.append(tuple(
                 x.astype(cfg.dtype) for x in layer.self_attn.kv(h)
             ))
-            h, _ = layer(h, bias=bias, deterministic=True)
+            h, _ = layer(h, deterministic=True, causal=True)
             gen_caches.append({
                 "self_k": jnp.zeros(shape, cfg.dtype),
                 "self_v": jnp.zeros(shape, cfg.dtype),

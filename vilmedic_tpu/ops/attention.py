@@ -23,7 +23,7 @@ def _softmax_f32(x: jnp.ndarray) -> jnp.ndarray:
     return unnorm / jnp.sum(unnorm, axis=-1, keepdims=True)
 
 
-FLASH_MIN_LEN = 1024  # route long non-causal attention through the Pallas kernel
+FLASH_MIN_LEN = 1024  # route long attention through the Pallas flash kernel
 
 
 def dot_product_attention(
@@ -32,14 +32,22 @@ def dot_product_attention(
     v: jnp.ndarray,
     bias: Optional[jnp.ndarray] = None,
     dtype=jnp.float32,
+    causal: bool = False,
 ) -> jnp.ndarray:
     """Scaled dot-product attention.
 
     q: (B, Tq, H, Dh), k/v: (B, Tk, H, Dh), bias broadcastable to (B, H, Tq, Tk).
     Scores and softmax are computed in f32 for stability regardless of compute dtype.
 
-    Long non-causal sequences (the multi-image patch-concat axis) stream through
-    the Pallas flash kernel instead of materializing the score matrix.
+    ``causal=True`` applies the causal constraint (query r sees key c iff
+    c <= r + Tk - Tq) IN ADDITION to ``bias`` — callers that want the flash
+    route pass a key-padding-only bias plus this flag instead of baking the
+    triangle into a dense (Tq, Tk) bias.
+
+    Long sequences (the multi-image patch-concat axis; the prefix-LM image
+    prefix) stream through the Pallas flash kernel instead of materializing
+    the score matrix; the kernel carries a custom VJP (XLA-recompute
+    backward), so this routing is train-safe.
     """
     key_bias_only = bias is None or (
         bias.ndim == 4 and bias.shape[1] == 1 and bias.shape[2] == 1
@@ -52,13 +60,18 @@ def dot_product_attention(
         from .flash_attention import flash_attention
 
         key_mask = None if bias is None else (bias[:, 0, 0, :] >= -0.5).astype(jnp.int32)
-        return flash_attention(q, k, v, key_mask=key_mask).astype(dtype)
+        return flash_attention(q, k, v, key_mask=key_mask, causal=causal).astype(dtype)
 
     depth = q.shape[-1]
     q = q * (depth ** -0.5)
     scores = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
     if bias is not None:
         scores = scores + bias
+    if causal:
+        tq, tk = scores.shape[-2], scores.shape[-1]
+        row = jnp.arange(tq)[:, None]
+        col = jnp.arange(tk)[None, :]
+        scores = scores + jnp.where(col <= row + (tk - tq), 0.0, NEG_INF)[None, None]
     weights = _softmax_f32(scores).astype(dtype)
     return jnp.einsum("bhqk,bkhd->bqhd", weights, v)
 
