@@ -282,12 +282,78 @@ def bench_vl():
     dt = (time.perf_counter() - t0) / len(batches)
     rps = batch / dt
     _mark(f"vl decode {rps:.1f} rep/s")
+    extra = {}
+    if os.environ.get("BENCH_VL_TRAIN"):
+        del batches, outs  # free decode HBM before the train graphs compile
+        sps, mfu = bench_vl_train(module, variables, vl_image)
+        extra = {"vl_train_samples_per_sec_chip": sps, "vl_train_mfu": mfu}
     print(json.dumps({
         "metric": "vl_reports_per_sec_chip_beam8",
         "value": round(rps, 3),
         "unit": "reports/s/chip",
         "vs_baseline": round(rps / ESTIMATED_A100_REFERENCE_REPORTS_PER_SEC, 3),
+        **extra,
     }))
+
+
+def bench_vl_train(module, variables, vl_image):
+    """VL prefix-LM train step (frozen tower + causal decoder, teacher-forced
+    LM loss + adamw) — BENCH_VL_TRAIN=1 adds vl_train_* to the JSON line. At
+    DINOv2-scale prefixes the causal attention streams through the flash
+    kernel (ops/attention FLASH_MIN_LEN)."""
+    import optax
+
+    tb = int(os.environ.get("BENCH_VL_TRAIN_BATCH", 16))
+    vocab = module.cfg.vocab_size
+    make_batch = jax.jit(lambda key: (
+        jax.random.normal(key, (tb, vl_image, vl_image, 3), jnp.float32),
+        jax.random.randint(key, (tb, TRAIN_LEN), 3, vocab, jnp.int32),
+    ))
+    images, ids = make_batch(jax.random.key(3))
+    mask = jnp.ones((tb, TRAIN_LEN), jnp.int32)
+    np.asarray(images[0, 0, 0])
+
+    tx = optax.adamw(1e-4)
+    params = variables["params"]
+    opt_state = jax.jit(tx.init)(params)
+
+    @jax.jit
+    def train_step(params, opt_state, images, ids, mask, key):
+        def loss_fn(p):
+            out = module.apply(
+                {"params": p}, images, ids, mask, train=True,
+                rngs={"dropout": key},
+            )
+            return out["loss"]
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state2 = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state2, loss
+
+    args = (params, opt_state, images, ids, mask, jax.random.key(0))
+    flops = None
+    try:
+        cost = train_step.lower(*args).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0)) or None
+    except Exception:
+        pass
+
+    params, opt_state, loss = train_step(*args)
+    _ = float(loss)  # sync (axon: block_until_ready does not wait)
+    N = 6
+    t0 = time.perf_counter()
+    for i in range(N):
+        params, opt_state, loss = train_step(
+            params, opt_state, images, ids, mask, jax.random.key(i)
+        )
+    _ = float(loss)
+    dt = (time.perf_counter() - t0) / N
+    sps = round(tb / dt, 3)
+    mfu = round(flops / dt / _peak_flops(), 4) if flops else None
+    _mark(f"vl train {sps} samples/s mfu={mfu}")
+    return sps, mfu
 
 
 def main():
