@@ -203,17 +203,32 @@ def test_tpu_judge_text_path(tmp_path):
                   "mild cardiomegaly"])
     assert len(outs) == 3 and all(isinstance(o, str) for o in outs)
 
-    # the responses must equal direct greedy decode of the same model
+    # the responses must equal direct greedy decode of the same model, with
+    # the SAME batch layout and TP sharding the judge used (its last batch is
+    # [p3, p3]: row 0 duplicated to the fixed batch size; params TP-shard over
+    # all local devices) — a different batch shape or sharding changes matmul
+    # reduction order, and greedy near-ties on a random-init model may flip
     fm, params = flax_from(hf_cfg, tm)
     tok = _WordTok()
+    from vilmedic_tpu.blocks.llm import llama_param_shardings
     from vilmedic_tpu.scorers.green import _chat_wrap
 
-    enc = tok([_chat_wrap("mild cardiomegaly")])
+    devs = jax.devices()
+    if len(devs) > 1:
+        mesh = jax.sharding.Mesh(np.array(devs), ("model",))
+        params = jax.device_put(params, llama_param_shardings(params, mesh))
+
+    enc = tok([_chat_wrap("mild cardiomegaly")] * 2)
     ids, mask = enc["input_ids"], enc["attention_mask"]
     lpad = 128 - ids.shape[1]
     ids = np.pad(ids, ((0, 0), (lpad, 0)), constant_values=1)
     mask = np.pad(mask, ((0, 0), (lpad, 0)))
-    direct = np.asarray(greedy_generate(
-        fm, params, jnp.asarray(ids), jnp.asarray(mask), 6, eos_id=2, pad_id=1
-    ))
+    direct = np.asarray(jax.jit(
+        lambda pr, i, m: greedy_generate(fm, pr, i, m, 6, eos_id=2, pad_id=1)
+    )(params, jnp.asarray(ids), jnp.asarray(mask)))
     assert outs[2] == tok.batch_decode(direct)[0]
+
+    # batching/slicing independence: a single-prompt call feeds the SAME
+    # (batch-padded) executable the batched call used for its last chunk,
+    # so the row must reproduce bit-exactly
+    assert judge(["mild cardiomegaly"]) == [outs[2]]

@@ -257,3 +257,54 @@ def test_vision_language_end_to_end(tmp_path, dims):
         )
         assert sharded["hyps"] == unsharded["hyps"]
         assert sharded["refs"] == unsharded["refs"]
+
+
+def test_vl_flagship_config_constructs():
+    """config/VL/vl-dinov2-modernbert.yml parses through the config system and
+    its model block constructs via registry proto dispatch (tiny offline
+    override: scratch ViT tower instead of the pretrained DINOv2, shrunk dims
+    — the pretrained-tower wiring itself is covered by test_dinov2.py)."""
+    import os
+
+    from vilmedic_tpu import registry
+    from vilmedic_tpu.config.config import load_config
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    config, _ = load_config(os.path.join(repo, "config/VL/vl-dinov2-modernbert.yml"))
+    model_cfg = config["model"].to_dict()
+    assert model_cfg["proto"] == "VisionLanguage"
+    assert model_cfg["vision"]["vision_model_name"] == "IAMJB/maira-2-dinov2"
+    assert config["validator"].beam_width == 2
+    assert config["trainor"].warmup_ratio == 0.1
+
+    # offline-safe tiny construction through the same proto path
+    model_cfg["vision"] = {
+        "backbone": "vit", "hidden_size": 32, "num_hidden_layers": 1,
+        "num_attention_heads": 4, "intermediate_size": 64,
+        "patch_size": 16, "image_size": 32, "freeze": True, "pre_ln": True,
+    }
+    model_cfg["decoder"].update(
+        hidden_size=32, num_hidden_layers=1, num_attention_heads=4,
+        intermediate_size=64, max_position_embeddings=64, vocab_size=97,
+    )
+    model_cfg["dtype"] = "float32"
+
+    class DL:
+        class dataset:
+            class tokenizer:
+                vocab_size = 97
+                cls_token_id = 0
+                sep_token_id = 2
+                pad_token_id = 1
+
+            tokenizer_max_len = 8
+
+    m = registry.build("model", model_cfg, dl=DL())
+    batch = {
+        "images": jnp.zeros((2, 32, 32, 3), jnp.float32),
+        "input_ids": jnp.ones((2, 8), jnp.int32),
+        "attention_mask": jnp.ones((2, 8), jnp.int32),
+    }
+    variables = m.init_variables(jax.random.key(0), batch)
+    out, _ = m.apply_train(variables, batch, rng=None, train=False)
+    assert np.isfinite(float(out["loss"]))
