@@ -226,3 +226,47 @@ def test_indivisible_batch_hard_errors(tmp_path):
         Trainor(config=Config(base), seed=seed)
     # explicit opt-in restores the subset behavior
     Trainor(config=Config({**base, "allow_device_subset": True}), seed=seed)
+
+
+def test_nan_loss_skipped_on_device(workdir, tmp_path):
+    """A non-finite loss must leave params AND optimizer state untouched
+    (reference trainor.py:109-112 checks BEFORE optimizer.step) — enforced
+    inside the jitted step, not by a too-late host check; grad accumulation
+    resets on a NaN microbatch (reference zero_grad semantics)."""
+    import jax
+    import jax.numpy as jnp
+
+    ckpt_dir = tmp_path / "ckpt_nan"
+    ckpt_dir.mkdir()
+    config = _config(workdir, ckpt_dir)
+    set_logger(str(ckpt_dir), 3)
+    trainor = Trainor(config=config, seed=3)
+    batch = trainor._model_batch(next(iter(trainor.dl)))
+    bad = dict(batch)
+    bad["images"] = np.full_like(np.asarray(batch["images"]), np.nan)
+
+    lr = jnp.asarray(1e-3, jnp.float32)
+    state0 = trainor.state
+    new_state, loss = trainor._train_step(state0, bad, lr, trainor.rng)
+    assert not np.isfinite(float(loss))
+    for a, b in zip(jax.tree.leaves(state0.params), jax.tree.leaves(new_state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # finite step moves params
+    new_state2, loss2 = trainor._train_step(new_state, batch, lr, trainor.rng)
+    assert np.isfinite(float(loss2))
+    moved = any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(new_state.params),
+                        jax.tree.leaves(new_state2.params))
+    )
+    assert moved
+
+    # accumulation path: a NaN microbatch wipes the accumulated grads
+    grad_acc = trainor._zero_grads()
+    st, l1, grad_acc = trainor._grad_step(state0, batch, trainor.rng, grad_acc)
+    assert np.isfinite(float(l1))
+    assert any(np.abs(np.asarray(g)).sum() > 0 for g in jax.tree.leaves(grad_acc))
+    st, l2, grad_acc = trainor._grad_step(st, bad, trainor.rng, grad_acc)
+    assert not np.isfinite(float(l2))
+    for g in jax.tree.leaves(grad_acc):
+        assert np.abs(np.asarray(g)).sum() == 0

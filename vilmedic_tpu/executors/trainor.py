@@ -161,9 +161,22 @@ class Trainor:
             (loss, (out, new_stats)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
             )(state.params, state.batch_stats, batch, rng)
-            opt_state = set_learning_rate(state.opt_state, lr)
-            updates, opt_state = tx.update(grads, opt_state, state.params)
+            # NaN/Inf skip ON DEVICE (reference trainor.py:109-112 checks the
+            # loss BEFORE optimizer.step): params and optimizer state keep
+            # their old values when the loss is non-finite. A host-side check
+            # after the fact would be too late — the update would already have
+            # poisoned the params — and forcing a per-step device->host sync
+            # to check first would serialize the whole pipeline.
+            good = jnp.isfinite(loss)
+            opt_in = set_learning_rate(state.opt_state, lr)
+            updates, opt_state = tx.update(grads, opt_in, state.params)
             params = optax.apply_updates(state.params, updates)
+            params = jax.tree.map(
+                lambda n, o: jnp.where(good, n, o), params, state.params
+            )
+            opt_state = jax.tree.map(
+                lambda n, o: jnp.where(good, n, o), opt_state, opt_in
+            )
             new_state = state.replace(
                 step=state.step + 1, params=params, opt_state=opt_state,
                 batch_stats=new_stats if new_stats else state.batch_stats,
@@ -176,7 +189,14 @@ class Trainor:
             (loss, (out, new_stats)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
             )(state.params, state.batch_stats, batch, rng)
-            grad_acc = jax.tree.map(jnp.add, grad_acc, grads)
+            # non-finite microbatch resets the WHOLE accumulation on device —
+            # the reference's zero_grad-on-NaN semantics (trainor.py:111)
+            # without a host round-trip
+            good = jnp.isfinite(loss)
+            grad_acc = jax.tree.map(
+                lambda a, g: jnp.where(good, a + g, jnp.zeros_like(a)),
+                grad_acc, grads,
+            )
             new_state = state.replace(
                 step=state.step + 1,
                 batch_stats=new_stats if new_stats else state.batch_stats,
@@ -196,6 +216,25 @@ class Trainor:
 
     def _zero_grads(self):
         return jax.tree.map(jnp.zeros_like, self.state.params)
+
+    def _drain_loss(self, pending, losses, epoch):
+        """Read a previous iteration's device loss (by now computed — the
+        device runs steps in order, so this doesn't stall the pipeline).
+        Non-finite losses were already skipped ON DEVICE by the jitted step;
+        here they are only logged and excluded from the epoch mean. Always
+        returns None so callers can rebind ``pending``."""
+        if pending is None:
+            return None
+        it, device_loss = pending
+        loss = float(device_loss)
+        if not np.isfinite(loss):
+            self.logger.warning(
+                f"NaN/Inf loss at epoch {epoch + 1}, iter {it}. "
+                "Step skipped on device..."
+            )
+        else:
+            losses.append(loss)
+        return None
 
     # ------------------------------------------------------------------
     def start(self):
@@ -217,6 +256,7 @@ class Trainor:
             losses = []
             log = ""
             grad_acc = self._zero_grads() if self.grad_accu > 1 else None
+            pending = None  # (iteration, device loss) awaiting the delayed read
             iteration = 0
 
             custom_print = ""
@@ -249,26 +289,22 @@ class Trainor:
                     scheduler.iteration_step(epoch + iteration / max(1, len(self.dl)))
                 elif self.grad_accu == 1:
                     self.state, loss = self._train_step(self.state, batch, lr, self.rng)
-                    loss = float(loss)
-                    if not np.isfinite(loss):
-                        self.logger.warning(
-                            f"NaN/Inf loss at epoch {epoch + 1}, iter {iteration}. Skipping..."
-                        )
-                        continue
-                    losses.append(loss)
+                    # one-step-delayed host read: the NaN skip itself is
+                    # enforced inside the jitted step, so the host only needs
+                    # the loss for logging/early-stop. Reading the PREVIOUS
+                    # iteration's loss after dispatching this one keeps the
+                    # device pipeline full (a per-step float(loss) would add a
+                    # blocking round-trip — ~50 ms/step on tunneled hosts).
+                    pending = self._drain_loss(pending, losses, epoch)
+                    pending = (iteration, loss)
                     scheduler.iteration_step(epoch + iteration / max(1, len(self.dl)))
                 else:
                     self.state, loss, grad_acc = self._grad_step(
                         self.state, batch, self.rng, grad_acc
                     )
-                    loss = float(loss)
-                    if not np.isfinite(loss):
-                        self.logger.warning(
-                            f"NaN/Inf loss at epoch {epoch + 1}, iter {iteration}. Skipping..."
-                        )
-                        grad_acc = self._zero_grads()  # reference :111 zero_grad
-                        continue
-                    losses.append(loss)
+                    # NaN microbatches reset the accumulation inside grad_step
+                    pending = self._drain_loss(pending, losses, epoch)
+                    pending = (iteration, loss)
                     if iteration % self.grad_accu == 0:
                         self.state = self._apply_step(self.state, grad_acc, lr)
                         grad_acc = self._zero_grads()
@@ -290,6 +326,8 @@ class Trainor:
 
             if profiling:  # short epochs: close the trace
                 jax.profiler.stop_trace()
+
+            pending = self._drain_loss(pending, losses, epoch)  # flush the last loss
 
             # final partial accumulation step (reference :143-155)
             if self.grad_accu > 1 and iteration % self.grad_accu != 0 and losses:
