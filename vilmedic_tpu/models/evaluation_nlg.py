@@ -354,6 +354,24 @@ def evaluation(models, config, dl, from_training=True, **kwargs) -> Dict[str, An
 
     ref_list: List[str] = []
     hyp_list: List[str] = []
+
+    # one-batch decode/detokenize pipeline: jax dispatch is async, so the
+    # device decodes batch i+1 while the host D2H-transfers and detokenizes
+    # batch i (on tunneled hosts the D2H round-trip would otherwise serialize
+    # with the decode)
+    def _flush(prev):
+        if prev is None:
+            return
+        ref_ids, seqs_dev, n = prev
+        for h, r in zip(np.asarray(seqs_dev)[:n], ref_ids):
+            hyp_list.append(
+                tokenizer.decode(h, skip_special_tokens=True, clean_up_tokenization_spaces=False)
+            )
+            ref_list.append(
+                tokenizer.decode(r, skip_special_tokens=True, clean_up_tokenization_spaces=False)
+            )
+
+    prev = None
     for batch in dl:
         batch = prepare_batch(batch, dataset)
         n = batch[ref_key].shape[0]
@@ -363,12 +381,8 @@ def evaluation(models, config, dl, from_training=True, **kwargs) -> Dict[str, An
                           for k, v in enc_inputs.items()}
         if mesh is not None:
             enc_inputs = shard_batch(enc_inputs, mesh)
-        seqs = np.asarray(generate(variables_list, enc_inputs))[:n]
-        for h, r in zip(seqs, batch[ref_key]):
-            hyp_list.append(
-                tokenizer.decode(h, skip_special_tokens=True, clean_up_tokenization_spaces=False)
-            )
-            ref_list.append(
-                tokenizer.decode(r, skip_special_tokens=True, clean_up_tokenization_spaces=False)
-            )
+        seqs_dev = generate(variables_list, enc_inputs)
+        _flush(prev)
+        prev = (batch[ref_key], seqs_dev, n)
+    _flush(prev)
     return {"refs": ref_list, "hyps": hyp_list}

@@ -326,6 +326,20 @@ def vl_evaluation(models, config, dl, from_training=True, **kwargs) -> Dict[str,
     from ..parallel.mesh import shard_batch
 
     refs, hyps = [], []
+
+    # one-batch decode/detokenize pipeline (same as evaluation_nlg): the
+    # device decodes batch i+1 while the host reads back + detokenizes batch i
+    def _flush(prev):
+        if prev is None:
+            return
+        ref_ids, seqs_dev, n = prev
+        for h, r in zip(np.asarray(seqs_dev)[:n], ref_ids):
+            hyps.append(tokenizer.decode(h, skip_special_tokens=True,
+                                         clean_up_tokenization_spaces=False))
+            refs.append(tokenizer.decode(r, skip_special_tokens=True,
+                                         clean_up_tokenization_spaces=False))
+
+    prev = None
     for batch in dl:
         images = np.asarray(batch["images"])
         n = images.shape[0]
@@ -337,12 +351,10 @@ def vl_evaluation(models, config, dl, from_training=True, **kwargs) -> Dict[str,
         images = jnp.asarray(images)
         if mesh is not None:
             images = shard_batch(images, mesh)
-        seqs = np.asarray(generate(variables, images))[:n]
-        for h, r in zip(seqs, batch["input_ids"]):
-            hyps.append(tokenizer.decode(h, skip_special_tokens=True,
-                                         clean_up_tokenization_spaces=False))
-            refs.append(tokenizer.decode(r, skip_special_tokens=True,
-                                         clean_up_tokenization_spaces=False))
+        seqs_dev = generate(variables, images)
+        _flush(prev)
+        prev = (batch["input_ids"], seqs_dev, n)
+    _flush(prev)
     return {"refs": refs, "hyps": hyps}
 
 
