@@ -270,3 +270,10 @@ def test_nan_loss_skipped_on_device(workdir, tmp_path):
     assert not np.isfinite(float(l2))
     for g in jax.tree.leaves(grad_acc):
         assert np.abs(np.asarray(g)).sum() == 0
+
+    # NaN on the accumulation BOUNDARY: apply_step gates on that loss — adamw
+    # must not move params via decayed momentum/weight decay on zeroed grads
+    applied = trainor._apply_step(state0, grad_acc, lr, l2)
+    for a, b in zip(jax.tree.leaves(state0.params), jax.tree.leaves(applied.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+

@@ -275,7 +275,19 @@ def test_vl_flagship_config_constructs():
     assert model_cfg["proto"] == "VisionLanguage"
     assert model_cfg["vision"]["vision_model_name"] == "IAMJB/maira-2-dinov2"
     assert config["validator"].beam_width == 2
-    assert config["trainor"].warmup_ratio == 0.1
+    # warmup lives under lr_decay_params — the scheduler only reads it there
+    # (scheduler.py:62-67); verify it is actually CONSUMED, not just parsed
+    from vilmedic_tpu.executors.scheduler import TrainingScheduler
+
+    sched = TrainingScheduler(
+        lr_decay_func="cosine",
+        base_lr=float(config["trainor"].optim_params.lr),
+        early_stop_metric="ROUGEL",
+        early_stop_limit=5,
+        lr_decay_params=config["trainor"].lr_decay_params.to_dict(),
+        total_steps=1000,
+    )
+    assert sched.use_warmup and sched.warmup_steps == 100
 
     # offline-safe tiny construction through the same proto path
     model_cfg["vision"] = {

@@ -179,7 +179,7 @@ class Trainor:
             )
             new_state = state.replace(
                 step=state.step + 1, params=params, opt_state=opt_state,
-                batch_stats=new_stats if new_stats else state.batch_stats,
+                batch_stats=Trainor._gate_stats(good, new_stats, state.batch_stats),
             )
             return new_state, loss
 
@@ -199,20 +199,44 @@ class Trainor:
             )
             new_state = state.replace(
                 step=state.step + 1,
-                batch_stats=new_stats if new_stats else state.batch_stats,
+                batch_stats=Trainor._gate_stats(good, new_stats, state.batch_stats),
             )
             return new_state, loss, grad_acc
 
         @jax.jit
-        def apply_step(state: TrainState, grads, lr):
-            opt_state = set_learning_rate(state.opt_state, lr)
-            updates, opt_state = tx.update(grads, opt_state, state.params)
+        def apply_step(state: TrainState, grads, lr, gate_loss):
+            # gate on the boundary microbatch's loss: when IT was non-finite
+            # the reference `continue`s past optimizer.step entirely — without
+            # this, adamw would still move params via decayed momentum +
+            # weight decay (and advance its count) on the zeroed accumulation
+            good = jnp.isfinite(gate_loss)
+            opt_in = set_learning_rate(state.opt_state, lr)
+            updates, opt_state = tx.update(grads, opt_in, state.params)
             params = optax.apply_updates(state.params, updates)
+            params = jax.tree.map(
+                lambda n, o: jnp.where(good, n, o), params, state.params
+            )
+            opt_state = jax.tree.map(
+                lambda n, o: jnp.where(good, n, o), opt_state, opt_in
+            )
             return state.replace(params=params, opt_state=opt_state)
 
         self._train_step = train_step
         self._grad_step = grad_step
         self._apply_step = apply_step
+
+    @staticmethod
+    def _gate_stats(good, new_stats, old_stats):
+        # keep OLD batch-norm running stats on a non-finite batch: a NaN
+        # forward would otherwise write NaN running mean/var and poison every
+        # later forward. (Deliberate improvement over the reference, whose
+        # torch forward has already updated running stats by the time the
+        # loss check at trainor.py:109 runs.)
+        if not new_stats:
+            return old_stats
+        return jax.tree.map(
+            lambda n, o: jnp.where(good, n, o), new_stats, old_stats
+        )
 
     def _zero_grads(self):
         return jax.tree.map(jnp.zeros_like, self.state.params)
@@ -306,7 +330,7 @@ class Trainor:
                     pending = self._drain_loss(pending, losses, epoch)
                     pending = (iteration, loss)
                     if iteration % self.grad_accu == 0:
-                        self.state = self._apply_step(self.state, grad_acc, lr)
+                        self.state = self._apply_step(self.state, grad_acc, lr, loss)
                         grad_acc = self._zero_grads()
                         scheduler.iteration_step(
                             epoch + iteration / max(1, len(self.dl))
@@ -332,7 +356,7 @@ class Trainor:
             # final partial accumulation step (reference :143-155)
             if self.grad_accu > 1 and iteration % self.grad_accu != 0 and losses:
                 lr = jnp.asarray(scheduler.current_lr(), jnp.float32)
-                self.state = self._apply_step(self.state, grad_acc, lr)
+                self.state = self._apply_step(self.state, grad_acc, lr, loss)
                 scheduler.iteration_step(epoch + 1.0)
 
             if log:

@@ -29,6 +29,42 @@ def _pad_batch(arr: np.ndarray, target: int) -> np.ndarray:
     return np.concatenate([arr, reps], axis=0)
 
 
+def pipelined_decode(dl, tokenizer, prepare, launch):
+    """The decode/detokenize pipeline shared by the generation eval_funcs
+    (RRG/RRS here, VL in models/vision_language.py).
+
+    ``prepare(batch) -> (inputs, ref_ids, n)`` builds the device inputs (pad +
+    shard included) and returns the reference token ids and the un-padded
+    count; ``launch(inputs)`` dispatches the jitted generate and returns the
+    device sequences. jax dispatch is async, so the device decodes batch i+1
+    while the host D2H-transfers and detokenizes batch i — on tunneled hosts
+    the per-batch read-back would otherwise serialize with the decode.
+    """
+    refs: List[str] = []
+    hyps: List[str] = []
+
+    def _flush(prev):
+        if prev is None:
+            return
+        ref_ids, seqs_dev, n = prev
+        for h, r in zip(np.asarray(seqs_dev)[:n], ref_ids):
+            hyps.append(
+                tokenizer.decode(h, skip_special_tokens=True, clean_up_tokenization_spaces=False)
+            )
+            refs.append(
+                tokenizer.decode(r, skip_special_tokens=True, clean_up_tokenization_spaces=False)
+            )
+
+    prev = None
+    for batch in dl:
+        inputs, ref_ids, n = prepare(batch)
+        seqs_dev = launch(inputs)
+        _flush(prev)
+        prev = (ref_ids, seqs_dev, n)
+    _flush(prev)
+    return {"refs": refs, "hyps": hyps}
+
+
 def setup_sharded_eval(config, batch_size):
     """Shared SPMD eval policy for the generation eval_funcs (RRG/RRS here,
     VL in models/vision_language.py): data-parallel eval is the DEFAULT on
@@ -352,27 +388,7 @@ def evaluation(models, config, dl, from_training=True, **kwargs) -> Dict[str, An
 
     from ..data.image import prepare_batch
 
-    ref_list: List[str] = []
-    hyp_list: List[str] = []
-
-    # one-batch decode/detokenize pipeline: jax dispatch is async, so the
-    # device decodes batch i+1 while the host D2H-transfers and detokenizes
-    # batch i (on tunneled hosts the D2H round-trip would otherwise serialize
-    # with the decode)
-    def _flush(prev):
-        if prev is None:
-            return
-        ref_ids, seqs_dev, n = prev
-        for h, r in zip(np.asarray(seqs_dev)[:n], ref_ids):
-            hyp_list.append(
-                tokenizer.decode(h, skip_special_tokens=True, clean_up_tokenization_spaces=False)
-            )
-            ref_list.append(
-                tokenizer.decode(r, skip_special_tokens=True, clean_up_tokenization_spaces=False)
-            )
-
-    prev = None
-    for batch in dl:
+    def prepare(batch):
         batch = prepare_batch(batch, dataset)
         n = batch[ref_key].shape[0]
         enc_inputs = models[0].encoder_inputs(batch)
@@ -381,8 +397,8 @@ def evaluation(models, config, dl, from_training=True, **kwargs) -> Dict[str, An
                           for k, v in enc_inputs.items()}
         if mesh is not None:
             enc_inputs = shard_batch(enc_inputs, mesh)
-        seqs_dev = generate(variables_list, enc_inputs)
-        _flush(prev)
-        prev = (batch[ref_key], seqs_dev, n)
-    _flush(prev)
-    return {"refs": ref_list, "hyps": hyp_list}
+        return enc_inputs, batch[ref_key], n
+
+    return pipelined_decode(
+        dl, tokenizer, prepare, lambda inp: generate(variables_list, inp)
+    )

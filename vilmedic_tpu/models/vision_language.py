@@ -115,7 +115,6 @@ class VisionLanguageModule(nn.Module):
         text = self.embeddings(input_ids, positions, deterministic=not train)
         h = jnp.concatenate([prefix.astype(text.dtype), text], axis=1)
 
-        total = p + t
         key_mask = jnp.concatenate(
             [jnp.ones((h.shape[0], p), jnp.int32), attention_mask], axis=1
         )
@@ -322,40 +321,25 @@ def vl_evaluation(models, config, dl, from_training=True, **kwargs) -> Dict[str,
 
     generate = wrap_generate_sharded(generate, mesh, bool(kernel_ok))
 
-    from ..models.evaluation_nlg import _pad_batch
+    from ..models.evaluation_nlg import _pad_batch, pipelined_decode
     from ..parallel.mesh import shard_batch
 
-    refs, hyps = [], []
-
-    # one-batch decode/detokenize pipeline (same as evaluation_nlg): the
-    # device decodes batch i+1 while the host reads back + detokenizes batch i
-    def _flush(prev):
-        if prev is None:
-            return
-        ref_ids, seqs_dev, n = prev
-        for h, r in zip(np.asarray(seqs_dev)[:n], ref_ids):
-            hyps.append(tokenizer.decode(h, skip_special_tokens=True,
-                                         clean_up_tokenization_spaces=False))
-            refs.append(tokenizer.decode(r, skip_special_tokens=True,
-                                         clean_up_tokenization_spaces=False))
-
-    prev = None
-    for batch in dl:
+    def prepare(batch):
         images = np.asarray(batch["images"])
         n = images.shape[0]
         if pad_target and n < pad_target:  # static-shape padding for XLA
-            # pad on host BEFORE any device transfer (same order as
-            # evaluation_nlg) — padding a device array would round-trip the
-            # whole image batch through the host
+            # pad on host BEFORE any device transfer — padding a device array
+            # would round-trip the whole image batch through the host
             images = _pad_batch(images, pad_target)
         images = jnp.asarray(images)
         if mesh is not None:
             images = shard_batch(images, mesh)
-        seqs_dev = generate(variables, images)
-        _flush(prev)
-        prev = (batch["input_ids"], seqs_dev, n)
-    _flush(prev)
-    return {"refs": refs, "hyps": hyps}
+        return images, batch["input_ids"], n
+
+    # shared decode/detokenize pipeline (evaluation_nlg.pipelined_decode)
+    return pipelined_decode(
+        dl, tokenizer, prepare, lambda images: generate(variables, images)
+    )
 
 
 @registry.register("model")
