@@ -48,12 +48,19 @@ def restore_into(target, state_dict):
 
 
 class CheckpointSaver:
+    """Saves run in a background thread: the D2H pull of the params plus the
+    msgpack write can take minutes for GB-scale models on tunneled hosts, and
+    jax arrays are immutable, so the training loop can keep stepping while the
+    snapshot serializes. ``wait()`` joins the in-flight save — the Trainor
+    calls it before returning so callers always observe a complete file."""
+
     def __init__(self, ckpt_dir: str, logger, seed, ckpt: Optional[str] = None):
         self.ckpt_dir = ckpt_dir
         self.seed = seed
         self.logger = logger
         self.current_tag = None
         self.current_epoch = None
+        self._thread = None
         if ckpt is not None:
             self.current_tag, self.current_epoch = self.extract_tag_and_step(ckpt)
             logger.settings(
@@ -62,6 +69,9 @@ class CheckpointSaver:
             )
 
     def save(self, payload: Dict[str, Any], tag, current_epoch: int) -> str:
+        import threading
+
+        self.wait()  # one in-flight save at a time
         if self.current_tag is not None:
             old = os.path.join(
                 self.ckpt_dir, f"{self.current_tag}_{self.current_epoch}_{self.seed}.ckpt"
@@ -70,11 +80,22 @@ class CheckpointSaver:
                 os.remove(old)
         tag = float(np.round(float(tag), 6))
         path = os.path.join(self.ckpt_dir, f"{tag}_{current_epoch}_{self.seed}.ckpt")
-        save_checkpoint(path, payload)
-        self.logger.info(f"{path} saved.")
+
+        def _write():
+            save_checkpoint(path, payload)
+            self.logger.info(f"{path} saved.")
+
+        self._thread = threading.Thread(target=_write, daemon=True)
+        self._thread.start()
         self.current_tag = tag
         self.current_epoch = current_epoch
         return path
+
+    def wait(self) -> None:
+        """Join the in-flight background save (no-op when idle)."""
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
 
     @staticmethod
     def extract_tag_and_step(ckpt: str) -> Tuple[float, int]:

@@ -426,7 +426,9 @@ class Trainor:
                 )
             if ret["done_training"]:
                 self.logger.info("Early stop reached")
+                self.saver.wait()  # join the background checkpoint write
                 return
+        self.saver.wait()  # join the background checkpoint write
 
     # ------------------------------------------------------------------
     def _model_batch(self, batch):
