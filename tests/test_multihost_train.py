@@ -98,7 +98,7 @@ def _run_cluster(tmp_path, nproc, local_devices=1):
         )
         for i in range(nproc)
     ]
-    outs = [p.communicate(timeout=500)[0] for p in procs]
+    outs = [p.communicate(timeout=900)[0] for p in procs]
     results = []
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i}/{nproc} failed:\n{out[-4000:]}"
