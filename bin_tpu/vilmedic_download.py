@@ -36,6 +36,12 @@ def main(argv=None):
              "downloading (air-gapped deployments; the reference's zip "
              "extraction flow, zoo/utils.py:19-32)",
     )
+    parser.add_argument(
+        "--url",
+        help="download a .zip archive from a direct URL and install it — the "
+             "reference's gdown zip flow (zoo/utils.py:30-76) for mirrors "
+             "that are plain HTTP(S) servers",
+    )
     args = parser.parse_args(argv)
 
     if args.list or not args.name:
@@ -58,6 +64,14 @@ def main(argv=None):
         install_from_source(args.source, target)
         print(f"installed {args.name} to {target}")
         return
+    if args.url:
+        archive = download_url(args.url)
+        try:
+            install_from_source(archive, target)
+        finally:
+            os.unlink(archive)
+        print(f"installed {args.name} to {target}")
+        return
     try:
         from huggingface_hub import snapshot_download
 
@@ -69,6 +83,25 @@ def main(argv=None):
             f"Cannot download {args.name!r} (no network egress in this "
             f"environment?): {e}\nPlace the files manually under {target}."
         )
+
+
+def download_url(url: str) -> str:
+    """Stream a .zip from a direct URL into a temp file; returns its path."""
+    import tempfile
+    import urllib.request
+
+    fd, path = tempfile.mkstemp(suffix=".zip")
+    try:
+        with urllib.request.urlopen(url) as resp, os.fdopen(fd, "wb") as out:
+            while True:
+                chunk = resp.read(1 << 20)
+                if not chunk:
+                    break
+                out.write(chunk)
+    except Exception as e:
+        os.unlink(path)
+        raise SystemExit(f"download failed for {url!r}: {e}")
+    return path
 
 
 def install_from_source(source: str, target: str) -> None:
