@@ -228,10 +228,13 @@ def build_vl():
     variables = init(jax.random.key(0))
     _mark("vl init done")
 
+    quantize_prefix = bool(os.environ.get("BENCH_VL_INT8"))
+
     @jax.jit
     def generate(variables, images):
         cache, prefix_kv, p = module.apply(
-            variables, images, MAX_LEN, method=VisionLanguageModule.prefill
+            variables, images, MAX_LEN, quantize_prefix=quantize_prefix,
+            method=VisionLanguageModule.prefill,
         )
         cache = to_kernel_cache(tile_for_beams(cache, BEAM))
         blocked = make_blocked_head_weights(variables["params"], cfg.dtype)

@@ -153,11 +153,11 @@ def test_vl_kernel_cache_beam_parity():
     ids = jnp.asarray(rng.integers(3, vocab, (b, 4)), jnp.int32)
     variables = module.init(jax.random.key(0), images, ids, jnp.ones_like(ids))
 
-    cache0, prefix_kv, p = module.apply(
-        variables, images, t, method=VisionLanguageModule.prefill
-    )
-
-    def run(kernel):
+    def run(kernel, quantize=False):
+        cache0, prefix_kv, p = module.apply(
+            variables, images, t, quantize_prefix=quantize,
+            method=VisionLanguageModule.prefill,
+        )
         cache = tile_for_beams(cache0, k)
         if kernel:
             cache = to_kernel_cache(cache)
@@ -176,6 +176,9 @@ def test_vl_kernel_cache_beam_parity():
         ).sequences)
 
     np.testing.assert_array_equal(run(False), run(True))
+    # int8 prefix: kernel and permute routes consume the SAME quantized
+    # operands, so their sequences must still match each other exactly
+    np.testing.assert_array_equal(run(False, quantize=True), run(True, quantize=True))
 
 
 @pytest.mark.parametrize("dims", ["tiny", "kernel"])
@@ -320,3 +323,57 @@ def test_vl_flagship_config_constructs():
     variables = m.init_variables(jax.random.key(0), batch)
     out, _ = m.apply_train(variables, batch, rng=None, train=False)
     assert np.isfinite(float(out["loss"]))
+
+
+def test_int8_prefix_kv_decode_close_to_exact():
+    """prefill(quantize_prefix=True): per-(token, head) int8 prefix K/V —
+    decode logits stay within quantization tolerance of the exact path, and
+    the quantizer's reconstruction obeys its <= scale/2 per-element bound."""
+    from vilmedic_tpu.blocks.transformer import (
+        TransformerConfig,
+        quantize_kv,
+    )
+    from vilmedic_tpu.blocks.vision.visual_encoder import build_visual_encoder
+    from vilmedic_tpu.models.vision_language import VisionLanguageModule
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(2, 7, 3, 8)) * 3.0, jnp.float32)
+    q, scale = quantize_kv(x)
+    assert q.dtype == jnp.int8 and scale.shape == (2, 7, 3)
+    recon = np.asarray(q, np.float32) * np.asarray(scale)[..., None]
+    assert np.max(np.abs(recon - np.asarray(x))) <= np.max(np.asarray(scale)) / 2 + 1e-6
+
+    cfg = TransformerConfig(
+        vocab_size=40, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64,
+        max_position_embeddings=64, hidden_dropout_prob=0.0,
+    )
+    module = VisionLanguageModule(
+        cfg=cfg, vision=build_visual_encoder(dict(TINY_VISION)), num_image_tokens=6
+    )
+    b, t = 2, 6
+    images = jnp.asarray(rng.normal(size=(b, 32, 32, 3)), jnp.float32)
+    ids = jnp.asarray(rng.integers(3, 40, (b, t)), jnp.int32)
+    variables = module.init(jax.random.key(0), images, ids, jnp.ones_like(ids))
+
+    def roll(quantize):
+        cache, prefix_kv, p = module.apply(
+            variables, images, t, quantize_prefix=quantize,
+            method=VisionLanguageModule.prefill,
+        )
+        if quantize:
+            assert len(prefix_kv[0]) == 4 and prefix_kv[0][0].dtype == jnp.int8
+        outs = []
+        for i in range(t):
+            logits, cache = module.apply(
+                variables, ids[:, i: i + 1], cache, prefix_kv, jnp.asarray(i),
+                p, method=VisionLanguageModule.decode_step,
+            )
+            outs.append(logits[:, 0])
+        return np.asarray(jnp.stack(outs, 1))
+
+    exact = roll(False)
+    quant = roll(True)
+    # int8 prefix rounding perturbs logits slightly, never wildly
+    assert np.max(np.abs(exact - quant)) < 0.15, np.max(np.abs(exact - quant))
+    assert np.mean(np.abs(exact - quant)) < 0.02

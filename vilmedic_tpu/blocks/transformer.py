@@ -134,6 +134,18 @@ def to_kernel_cache(self_cache):
     return tuple(out)
 
 
+def quantize_kv(x):
+    """Symmetric int8 quantization of a (B, S, H, D) K/V tensor with
+    per-(token, head) scales: returns ``(q int8, scale f32 (B, S, H))`` with
+    ``q * scale[..., None] ~= x`` (<= scale/2 absolute rounding error per
+    element). Used for the beam-shared prefix segment, whose full re-read
+    every decode step is the bandwidth floor at DINOv2 prefix lengths."""
+    xf = x.astype(jnp.float32)
+    scale = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1) / 127.0, 1e-8)
+    q = jnp.clip(jnp.round(xf / scale[..., None]), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
 def _dense(cfg: TransformerConfig, features: int, name: str) -> nn.Dense:
     return nn.Dense(
         features,
@@ -303,6 +315,31 @@ class MultiHeadAttention(nn.Module):
         idx = decode_index.astype(jnp.int32)
         heads, d = cfg.num_attention_heads, cfg.head_dim
 
+        # prefix segment operands: either (pk, pv) bf16 or the int8-quantized
+        # (pk_q, k_scale, pv_q, v_scale) from prefill(quantize_prefix=True) —
+        # the per-(token, head) scales factor out of both einsums, so the
+        # decode loop streams int8 from HBM (half the per-step prefix read)
+        if len(prefix_kv) == 4:
+            pk, k_scale, pv, v_scale = prefix_kv
+        else:
+            pk, pv = prefix_kv
+            k_scale = v_scale = None
+
+        def _p_scores(qf):
+            # (B, H, fold, P) f32 prefix scores, scales applied post-matmul
+            sp = jnp.einsum("bqhd,bphd->bhqp", qf, pk.astype(jnp.float32))
+            if k_scale is not None:
+                sp = sp * k_scale.transpose(0, 2, 1)[:, :, None, :]
+            return sp
+
+        def _p_values(weights, out_dtype):
+            # (B, fold, H, D) from (B, H, fold, P) weights
+            if v_scale is not None:
+                weights = weights * v_scale.transpose(0, 2, 1)[:, :, None, :]
+            return jnp.einsum(
+                "bhqp,bphd->bqhd", weights.astype(out_dtype), pv.astype(out_dtype)
+            )
+
         if cache is not None and "k_tnf" in cache:
             assert ancestry is not None and ancestry.ndim == 3
             n = q.shape[0]
@@ -319,17 +356,16 @@ class MultiHeadAttention(nn.Module):
             )
             new_cache = {"k_tnf": kc2, "v_tnf": vc2}
 
-            pk, pv = prefix_kv
             b, p = pk.shape[:2]
             fold = n // b
             qf = (q[:, 0].astype(jnp.float32) * (d ** -0.5)).reshape(
                 b, fold, heads, d
             )
-            sp = jnp.einsum("bqhd,bphd->bhqp", qf, pk.astype(jnp.float32))
+            sp = _p_scores(qf)
             mp = sp.max(-1)  # (B, H, fold)
             ep = jnp.exp(sp - mp[..., None])
             lp = ep.sum(-1)
-            accp = jnp.einsum("bhqp,bphd->bqhd", ep, pv.astype(jnp.float32))
+            accp = _p_values(ep, jnp.float32)
             mp = mp.transpose(0, 2, 1).reshape(n, heads)
             lp = lp.transpose(0, 2, 1).reshape(n, heads)
             accp = accp.reshape(n, heads, d)
@@ -350,7 +386,6 @@ class MultiHeadAttention(nn.Module):
         )
         new_cache = {"k": ck, "v": cv}
 
-        pk, pv = prefix_kv
         b, p = pk.shape[:2]
         n, _, heads, d = q.shape
         fold = n // b
@@ -359,7 +394,7 @@ class MultiHeadAttention(nn.Module):
         qs = (q[:, 0] * (d ** -0.5)).astype(jnp.float32)
 
         qf = qs.reshape(b, fold, heads, d)
-        sp = jnp.einsum("bqhd,bphd->bhqp", qf, pk.astype(jnp.float32))
+        sp = _p_scores(qf)
         sg = jnp.einsum("nhd,nthd->nht", qs, ck.astype(jnp.float32))
         # causal by slot: generated slots beyond the current index are unwritten
         sg = jnp.where(jnp.arange(t)[None, None, :] <= idx, sg, NEG_INF)
@@ -369,10 +404,10 @@ class MultiHeadAttention(nn.Module):
         m = jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s - m)
         w = e / jnp.sum(e, axis=-1, keepdims=True)
-        wp = w[..., :p].astype(cfg.dtype)
+        wp = w[..., :p]
         wg = w[..., p:].astype(cfg.dtype)
 
-        out = jnp.einsum("bhqp,bphd->bqhd", wp, pv.astype(cfg.dtype))
+        out = _p_values(wp, cfg.dtype)
         out = out + jnp.einsum(
             "nht,nthd->nhd", wg.transpose(0, 2, 1, 3).reshape(n, heads, t), cv
         ).reshape(b, fold, heads, d)

@@ -28,6 +28,7 @@ from ..blocks.transformer import (
     MultiHeadAttention,
     TransformerConfig,
     _dense,
+    quantize_kv,
 )
 from ..blocks.vision.visual_encoder import build_visual_encoder
 from ..config.config import Config
@@ -131,7 +132,7 @@ class VisionLanguageModule(nn.Module):
         loss = causal_lm_loss(logits, input_ids, attention_mask)
         return {"loss": loss, "logits": logits}
 
-    def prefill(self, images, max_text_len):
+    def prefill(self, images, max_text_len, quantize_prefix: bool = False):
         """Run the image prefix through the stack; returns
         ``(gen_cache, prefix_kv, prefix_len)``.
 
@@ -142,6 +143,13 @@ class VisionLanguageModule(nn.Module):
         small (N, max_text_len) generated cache — for a DINOv2-sized prefix
         (~1.4k tokens vs ~100 generated) that removes >90% of the per-step
         beam-reorder cache traffic the concatenated layout paid.
+
+        ``quantize_prefix=True`` stores the prefix K/V as int8 with per-
+        (token, head) symmetric scales — the decode loop re-reads the whole
+        prefix every step (~S*H*D*2*2 bytes/layer/item, the bandwidth floor at
+        DINOv2 prefix lengths), so halving its footprint halves that floor.
+        APPROXIMATE (<=1/127 relative rounding per element); opt-in via the
+        eval config ``prefix_kv_dtype: int8``.
         """
         cfg = self.cfg
         prefix = self.image_prefix(images, train=False)
@@ -153,9 +161,11 @@ class VisionLanguageModule(nn.Module):
         for layer in self.layers:
             # the self-attention K/V projections of this layer's prefix input
             # ARE the prefix segment of the decode-time cache
-            prefix_kvs.append(tuple(
-                x.astype(cfg.dtype) for x in layer.self_attn.kv(h)
-            ))
+            pk, pv = (x.astype(cfg.dtype) for x in layer.self_attn.kv(h))
+            if quantize_prefix:
+                prefix_kvs.append(quantize_kv(pk) + quantize_kv(pv))
+            else:
+                prefix_kvs.append((pk, pv))
             h, _ = layer(h, deterministic=True, causal=True)
             gen_caches.append({
                 "self_k": jnp.zeros(shape, cfg.dtype),
@@ -250,9 +260,15 @@ def vl_evaluation(models, config, dl, from_training=True, **kwargs) -> Dict[str,
     if mesh is not None:
         variables = replicate(variables)
 
+    # int8 prefix-KV cache (config ``prefix_kv_dtype: int8``): halves the
+    # per-step prefix HBM read that floors DINOv2-scale decode throughput;
+    # APPROXIMATE (see VisionLanguageModule.prefill), default off
+    quantize_prefix = str(config.get("prefix_kv_dtype", "") or "") == "int8"
+
     def generate(variables, images):
         cache, prefix_kv, prefix_len = module.apply(
-            variables, images, max_len, method=type(module).prefill
+            variables, images, max_len, quantize_prefix=quantize_prefix,
+            method=type(module).prefill,
         )
         batch = images.shape[0]
         # biggest legal kernel group for THIS batch/max_len (shared helper —
