@@ -377,3 +377,44 @@ def test_int8_prefix_kv_decode_close_to_exact():
     # int8 prefix rounding perturbs logits slightly, never wildly
     assert np.max(np.abs(exact - quant)) < 0.15, np.max(np.abs(exact - quant))
     assert np.mean(np.abs(exact - quant)) < 0.02
+
+
+def test_gradient_checkpointing_vl_forward():
+    """cfg.gradient_checkpointing remats the teacher-forced layer stack
+    (train-path only): loss/gradients match the un-remat'd forward closely
+    and stay finite; decode paths are unaffected (un-wrapped)."""
+    from vilmedic_tpu.blocks.transformer import TransformerConfig
+    from vilmedic_tpu.blocks.vision.visual_encoder import build_visual_encoder
+    from vilmedic_tpu.models.vision_language import VisionLanguageModule
+
+    rng = np.random.default_rng(7)
+    b, t = 2, 6
+    images = jnp.asarray(rng.normal(size=(b, 32, 32, 3)), jnp.float32)
+    ids = jnp.asarray(rng.integers(3, 40, (b, t)), jnp.int32)
+    mask = jnp.ones((b, t), jnp.int32)
+
+    losses, grads = [], []
+    for gc in (False, True):
+        cfg = TransformerConfig(
+            vocab_size=40, hidden_size=32, num_hidden_layers=2,
+            num_attention_heads=4, intermediate_size=64,
+            max_position_embeddings=64, hidden_dropout_prob=0.0,
+            gradient_checkpointing=gc,
+        )
+        module = VisionLanguageModule(
+            cfg=cfg, vision=build_visual_encoder(dict(TINY_VISION)),
+            num_image_tokens=6,
+        )
+        variables = module.init(jax.random.key(0), images, ids, mask)
+
+        def loss_fn(p):
+            return module.apply({"params": p}, images, ids, mask)["loss"]
+
+        l, g = jax.value_and_grad(loss_fn)(variables["params"])
+        assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(g))
+        losses.append(float(l))
+        grads.append(g)
+
+    np.testing.assert_allclose(losses[0], losses[1], rtol=1e-5)
+    for a, b_ in zip(jax.tree.leaves(grads[0]), jax.tree.leaves(grads[1])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=2e-4, atol=2e-5)

@@ -69,6 +69,14 @@ class CausalLayer(nn.Module):
         return x, new_cache
 
 
+def _layer_forward(layer, x, bias, deterministic, causal):
+    """Full-sequence CausalLayer call in module-first form so nn.remat can
+    mark ``deterministic``/``causal`` static (kwarg bools would be traced
+    through jax.checkpoint and break the Python-level flag checks)."""
+    h, _ = layer(x, bias=bias, deterministic=deterministic, causal=causal)
+    return h
+
+
 class VisionLanguageModule(nn.Module):
     cfg: TransformerConfig
     vision: nn.Module  # VisualEncoder (frozen)
@@ -123,8 +131,15 @@ class VisionLanguageModule(nn.Module):
         # DINOv2 prefix lengths the attention routes through the causal flash
         # kernel (ops/attention FLASH_MIN_LEN) — train-safe via its custom VJP
         bias = make_attention_bias(key_mask=key_mask)
+        # remat trades recompute for activation memory on the TRAIN forward
+        # only (each layer holds (B, ~1.5k, H) activations at DINOv2 prefix
+        # lengths); decode/prefill are grad-free and stay un-wrapped
+        run = (
+            nn.remat(_layer_forward, static_argnums=(3, 4))
+            if cfg.gradient_checkpointing else _layer_forward
+        )
         for layer in self.layers:
-            h, _ = layer(h, bias=bias, deterministic=not train, causal=True)
+            h = run(layer, h, bias, not train, True)
         logits = self.lm_head(h[:, p:]).astype(jnp.float32)
 
         from ..blocks.transformer import causal_lm_loss
