@@ -89,10 +89,11 @@ def download_url(url: str) -> str:
     """Stream a .zip from a direct URL into a temp file; returns its path."""
     import tempfile
     import urllib.request
+    import zipfile
 
     fd, path = tempfile.mkstemp(suffix=".zip")
     try:
-        with urllib.request.urlopen(url) as resp, os.fdopen(fd, "wb") as out:
+        with os.fdopen(fd, "wb") as out, urllib.request.urlopen(url) as resp:
             while True:
                 chunk = resp.read(1 << 20)
                 if not chunk:
@@ -101,6 +102,12 @@ def download_url(url: str) -> str:
     except Exception as e:
         os.unlink(path)
         raise SystemExit(f"download failed for {url!r}: {e}")
+    if not zipfile.is_zipfile(path):
+        os.unlink(path)
+        raise SystemExit(
+            f"{url!r} did not return a .zip archive (an HTML error page from "
+            f"the mirror?)"
+        )
     return path
 
 

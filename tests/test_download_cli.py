@@ -92,3 +92,31 @@ def test_download_url_failure_is_actionable(cli):
     with pytest.raises(SystemExit) as e:
         cli.main(["RRG/padchest", "--url", "http://127.0.0.1:1/nope.zip"])
     assert "download failed" in str(e.value)
+
+
+def test_download_url_rejects_non_zip(cli, tmp_path):
+    """A mirror answering 200 with an HTML/text page must fail with a clear
+    message (not a confusing --source/temp-path error)."""
+    import http.server
+    import socketserver
+
+    (tmp_path / "artifact.zip").write_text("<html>404-ish</html>")
+
+    class Handler(http.server.SimpleHTTPRequestHandler):
+        def __init__(self, *a, **k):
+            super().__init__(*a, directory=str(tmp_path), **k)
+
+        def log_message(self, *a):
+            pass
+
+    with socketserver.TCPServer(("127.0.0.1", 0), Handler) as httpd:
+        port = httpd.server_address[1]
+        th = threading.Thread(target=httpd.serve_forever, daemon=True)
+        th.start()
+        try:
+            with pytest.raises(SystemExit) as e:
+                cli.main(["MVQA/imageclef",
+                          "--url", f"http://127.0.0.1:{port}/artifact.zip"])
+        finally:
+            httpd.shutdown()
+    assert "did not return a .zip" in str(e.value)

@@ -277,3 +277,28 @@ def test_nan_loss_skipped_on_device(workdir, tmp_path):
     for a, b in zip(jax.tree.leaves(state0.params), jax.tree.leaves(applied.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+
+
+def test_background_checkpoint_error_surfaces(tmp_path):
+    """A failed background checkpoint write must raise at the next wait()
+    (silently losing the only checkpoint is the worst failure mode of an
+    async saver)."""
+    import logging
+
+    from vilmedic_tpu.executors.checkpoint import CheckpointSaver
+
+    saver = CheckpointSaver(
+        ckpt_dir=str(tmp_path / "missing" / "nested"),  # parent doesn't exist
+        logger=logging.getLogger("t"), seed=1,
+    )
+    saver.save({"model": {"w": np.zeros(2)}}, tag=0.5, current_epoch=1)
+    with pytest.raises(RuntimeError, match="background checkpoint write failed"):
+        saver.wait()
+
+    # a successful save still round-trips
+    ok = CheckpointSaver(ckpt_dir=str(tmp_path), logger=logging.getLogger("t"), seed=1)
+    path = ok.save({"model": {"w": np.ones(2)}}, tag=0.5, current_epoch=1)
+    ok.wait()
+    from vilmedic_tpu.executors.checkpoint import load_checkpoint
+
+    assert np.allclose(load_checkpoint(path)["model"]["w"], 1.0)

@@ -82,9 +82,13 @@ class CheckpointSaver:
         path = os.path.join(self.ckpt_dir, f"{tag}_{current_epoch}_{self.seed}.ckpt")
 
         def _write():
-            save_checkpoint(path, payload)
-            self.logger.info(f"{path} saved.")
+            try:
+                save_checkpoint(path, payload)
+                self.logger.info(f"{path} saved.")
+            except BaseException as e:  # surfaced by the next wait()
+                self._error = e
 
+        self._error = None
         self._thread = threading.Thread(target=_write, daemon=True)
         self._thread.start()
         self.current_tag = tag
@@ -92,10 +96,15 @@ class CheckpointSaver:
         return path
 
     def wait(self) -> None:
-        """Join the in-flight background save (no-op when idle)."""
+        """Join the in-flight background save; re-raise its failure (a
+        swallowed write error would otherwise leave the run with NO
+        checkpoint — the previous best is already deleted)."""
         if self._thread is not None:
             self._thread.join()
             self._thread = None
+            err, self._error = getattr(self, "_error", None), None
+            if err is not None:
+                raise RuntimeError("background checkpoint write failed") from err
 
     @staticmethod
     def extract_tag_and_step(ckpt: str) -> Tuple[float, int]:

@@ -14,6 +14,7 @@ from __future__ import annotations
 from typing import Any, Callable, Dict, Optional
 
 import flax.struct
+import jax
 import jax.numpy as jnp
 import optax
 
@@ -98,6 +99,24 @@ def create_optimizer(
         return optax.chain(*parts)
 
     return optax.inject_hyperparams(factory)(learning_rate=base_lr)
+
+
+def gated_update(tx, params, opt_state, grads, lr, gate_loss):
+    """One isfinite-gated optimizer update (shared by Trainor.train_step /
+    apply_step and the SCST grad step): when ``gate_loss`` is non-finite the
+    returned params AND optimizer state keep their old values — the reference
+    checks the loss BEFORE optimizer.step (trainor.py:109-112), and a gate
+    applied after the jit has run would be too late to stop a poisoned
+    update. Returns ``(params, opt_state)``."""
+    good = jnp.isfinite(gate_loss)
+    opt_in = set_learning_rate(opt_state, lr)
+    updates, new_opt = tx.update(grads, opt_in, params)
+    new_params = optax.apply_updates(params, updates)
+    new_params = jax.tree.map(
+        lambda n, o: jnp.where(good, n, o), new_params, params
+    )
+    new_opt = jax.tree.map(lambda n, o: jnp.where(good, n, o), new_opt, opt_in)
+    return new_params, new_opt
 
 
 def set_learning_rate(opt_state, lr):

@@ -29,7 +29,7 @@ from .. import __version__
 from ..config.config import Config
 from ..parallel.mesh import get_mesh, replicate, shard_batch
 from .checkpoint import CheckpointSaver, load_checkpoint
-from .train_state import TrainState, create_optimizer, set_learning_rate
+from .train_state import TrainState, create_optimizer, gated_update, set_learning_rate
 from .utils import create_data_loader, create_model, create_training_scheduler
 
 
@@ -161,25 +161,18 @@ class Trainor:
             (loss, (out, new_stats)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
             )(state.params, state.batch_stats, batch, rng)
-            # NaN/Inf skip ON DEVICE (reference trainor.py:109-112 checks the
-            # loss BEFORE optimizer.step): params and optimizer state keep
-            # their old values when the loss is non-finite. A host-side check
-            # after the fact would be too late — the update would already have
-            # poisoned the params — and forcing a per-step device->host sync
-            # to check first would serialize the whole pipeline.
-            good = jnp.isfinite(loss)
-            opt_in = set_learning_rate(state.opt_state, lr)
-            updates, opt_state = tx.update(grads, opt_in, state.params)
-            params = optax.apply_updates(state.params, updates)
-            params = jax.tree.map(
-                lambda n, o: jnp.where(good, n, o), params, state.params
-            )
-            opt_state = jax.tree.map(
-                lambda n, o: jnp.where(good, n, o), opt_state, opt_in
+            # NaN/Inf skip ON DEVICE (reference trainor.py:109-112 checks
+            # the loss BEFORE optimizer.step; a host-side check after this jit
+            # has run would be too late, and a pre-check sync would serialize
+            # the pipeline) — shared gate in train_state.gated_update
+            params, opt_state = gated_update(
+                tx, state.params, state.opt_state, grads, lr, loss
             )
             new_state = state.replace(
                 step=state.step + 1, params=params, opt_state=opt_state,
-                batch_stats=Trainor._gate_stats(good, new_stats, state.batch_stats),
+                batch_stats=Trainor._gate_stats(
+                    jnp.isfinite(loss), new_stats, state.batch_stats
+                ),
             )
             return new_state, loss
 
@@ -209,15 +202,8 @@ class Trainor:
             # the reference `continue`s past optimizer.step entirely — without
             # this, adamw would still move params via decayed momentum +
             # weight decay (and advance its count) on the zeroed accumulation
-            good = jnp.isfinite(gate_loss)
-            opt_in = set_learning_rate(state.opt_state, lr)
-            updates, opt_state = tx.update(grads, opt_in, state.params)
-            params = optax.apply_updates(state.params, updates)
-            params = jax.tree.map(
-                lambda n, o: jnp.where(good, n, o), params, state.params
-            )
-            opt_state = jax.tree.map(
-                lambda n, o: jnp.where(good, n, o), opt_state, opt_in
+            params, opt_state = gated_update(
+                tx, state.params, state.opt_state, grads, lr, gate_loss
             )
             return state.replace(params=params, opt_state=opt_state)
 
@@ -262,8 +248,6 @@ class Trainor:
 
     # ------------------------------------------------------------------
     def start(self):
-        import time
-
         config = self.config
         scheduler = self.training_scheduler
         epochs = int(config.epochs)
@@ -273,6 +257,17 @@ class Trainor:
             if self.evaluator is not None:
                 self.evaluator.start()
             return
+
+        try:
+            self._run_epochs(config, scheduler, epochs)
+        finally:
+            # ALWAYS join the background checkpoint writer — an exception (or
+            # KeyboardInterrupt) mid-epoch would otherwise kill the daemon
+            # thread mid-write, truncating the only remaining checkpoint
+            self.saver.wait()
+
+    def _run_epochs(self, config, scheduler, epochs):
+        import time
 
         for epoch in range(int(scheduler.epoch), epochs + 1):
             epoch_t0 = time.perf_counter()
@@ -337,6 +332,10 @@ class Trainor:
                         )
 
                 if iteration % 10 == 0 or iteration == len(self.dl):
+                    # sync the delayed loss at log points so the displayed
+                    # mean includes the current step (and 1-batch epochs
+                    # don't log 'Loss nan')
+                    pending = self._drain_loss(pending, losses, epoch)
                     avg = float(np.mean(losses)) if losses else float("nan")
                     elapsed = time.perf_counter() - epoch_t0
                     eta = elapsed / iteration * (len(self.dl) - iteration)
@@ -426,9 +425,7 @@ class Trainor:
                 )
             if ret["done_training"]:
                 self.logger.info("Early stop reached")
-                self.saver.wait()  # join the background checkpoint write
                 return
-        self.saver.wait()  # join the background checkpoint write
 
     # ------------------------------------------------------------------
     def _model_batch(self, batch):

@@ -180,20 +180,13 @@ class _SCSTBase(TaskModel):
                 return loss
 
             loss, grads = jax.value_and_grad(loss_fn)(state.params)
-            from ..executors.train_state import set_learning_rate
+            from ..executors.train_state import gated_update
 
             # non-finite loss keeps params + optimizer state (same on-device
             # gate as Trainor.train_step — the host's isfinite check comes
             # AFTER this jit has run, too late to prevent a poisoned update)
-            good = jnp.isfinite(loss)
-            opt_in = set_learning_rate(state.opt_state, lr)
-            updates, opt_state = tx.update(grads, opt_in, state.params)
-            params = optax.apply_updates(state.params, updates)
-            params = jax.tree.map(
-                lambda n, o: jnp.where(good, n, o), params, state.params
-            )
-            opt_state = jax.tree.map(
-                lambda n, o: jnp.where(good, n, o), opt_state, opt_in
+            params, opt_state = gated_update(
+                tx, state.params, state.opt_state, grads, lr, loss
             )
             return state.replace(
                 step=state.step + 1, params=params, opt_state=opt_state
