@@ -359,9 +359,35 @@ def bench_vl_train(module, variables, vl_image):
     return sps, mfu
 
 
+def _devices_with_timeout(timeout_s: float = 900.0):
+    """jax.devices() with a bound: a dead TPU-tunnel relay hangs backend init
+    forever; better to fail loudly than hang the driver (tunnel session
+    establishment alone can take ~5 min, hence the generous bound)."""
+    import threading
+
+    out = []
+
+    def probe():
+        try:
+            out.append(jax.devices())
+        except Exception as e:
+            out.append(e)
+
+    th = threading.Thread(target=probe, daemon=True)
+    th.start()
+    th.join(timeout_s)
+    if not out:
+        _mark(f"FATAL: no jax devices after {timeout_s:.0f}s — relay down?")
+        sys.exit(3)
+    if isinstance(out[0], Exception):
+        _mark(f"FATAL: jax device init failed: {out[0]}")
+        sys.exit(3)
+    return out[0]
+
+
 def main():
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_vilmedic_tpu")
-    _mark(f"devices: {jax.devices()}")
+    _mark(f"devices: {_devices_with_timeout()}")
 
     if os.environ.get("BENCH_VL"):
         return bench_vl()
