@@ -302,3 +302,32 @@ def test_background_checkpoint_error_surfaces(tmp_path):
     from vilmedic_tpu.executors.checkpoint import load_checkpoint
 
     assert np.allclose(load_checkpoint(path)["model"]["w"], 1.0)
+
+
+def test_single_batch_epoch_logs_finite_loss(tmp_path, workdir):
+    """The delayed loss drain syncs at log points: a 1-iteration epoch must
+    log the real loss (this regressed to 'Loss nan' when the drain only
+    happened after the loop)."""
+    import logging
+
+    ckpt_dir = tmp_path / "ckpt_1b"
+    ckpt_dir.mkdir()
+    config = _config(workdir, ckpt_dir)
+    config["batch_size"] = 8  # 8 samples -> exactly 1 iteration per epoch
+    config["epochs"] = 1
+    config["eval_start"] = 99  # no validator attached
+    set_logger(str(ckpt_dir), 11)
+    trainor = Trainor(config=config, seed=11)
+    # per-seed loggers don't propagate (file+console handlers only) — attach
+    # a capturing handler directly
+    records = []
+
+    class _Cap(logging.Handler):
+        def emit(self, record):
+            records.append(record.getMessage())
+
+    logging.getLogger("11").addHandler(_Cap())
+    trainor.start()
+    logs = " ".join(records)
+    assert "Loss nan" not in logs
+    assert "Loss " in logs
