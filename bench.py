@@ -385,6 +385,36 @@ def _devices_with_timeout(timeout_s: float = 900.0):
     return out[0]
 
 
+def _measure_decode(module, variables, batch):
+    """Compile + measure the flagship beam-8 decode at one batch size.
+
+    NOTE: on the axon tunnel backend block_until_ready does not wait for
+    execution — a device->host transfer (np.asarray) does, so all timings
+    force the transfer (sequences are int32 (B, 100): transfer cost is
+    negligible vs decode). Distinct input batches so no caching layer can
+    elide work; steady-state throughput (enqueue all, sync once) — a real
+    eval loop keeps the device queue full the same way, and a per-call sync
+    would bill the tunnel's host round-trip latency against every batch.
+    """
+    generate = build_generate(module, variables, batch)
+    # device-generated inputs: H2D of ~100 MB/batch over the tunnel is minutes
+    make_images = jax.jit(lambda key: jax.random.normal(
+        key, (batch, IMAGE, IMAGE, 3), jnp.float32
+    ))
+    batches = [make_images(jax.random.key(i)) for i in range(5)]
+    for b in batches:
+        np.asarray(b[0, 0, 0])
+    np.asarray(generate(variables, batches[0]))  # compile + warm
+    t0 = time.perf_counter()
+    outs = [generate(variables, b) for b in batches]
+    for o in outs:
+        np.asarray(o)
+    dt = (time.perf_counter() - t0) / len(batches)
+    rps = batch / dt
+    _mark(f"decode@{batch}: {rps:.1f} rep/s")
+    return rps
+
+
 def main():
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_vilmedic_tpu")
     _mark(f"devices: {_devices_with_timeout()}")
@@ -394,103 +424,118 @@ def main():
 
     module = build_model()
     rng = np.random.default_rng(0)
-    images = jnp.asarray(rng.normal(size=(BATCH, IMAGE, IMAGE, 3)), jnp.float32)
-    ids = jnp.asarray(rng.integers(3, VOCAB, (BATCH, 8)), jnp.int32)
-    mask = jnp.ones((BATCH, 8), jnp.int32)
-
+    im0 = jnp.zeros((2, IMAGE, IMAGE, 3), jnp.float32)
+    ids0 = jnp.zeros((2, 8), jnp.int32)
     # jit the init: op-by-op dispatch of a 169-layer conv net is minutes of
     # per-primitive compiles; one jitted program initializes in seconds.
     init = jax.jit(
-        lambda key: module.init({"params": key}, images, ids, mask, train=False)
+        lambda key: module.init(
+            {"params": key}, im0, ids0, jnp.ones_like(ids0), train=False
+        )
     )
     variables = init(jax.random.key(0))
     _mark("init done")
 
-    generate = build_generate(module, variables, BATCH)
+    # Decode sweep around the known optimum (r3: sharp peak at 128) so the
+    # headline tracks the peak instead of silently sitting off it when shapes
+    # or kernels change. Each batch is its own compiled program (cached across
+    # runs via jax_compilation_cache_dir).
+    sweep = [int(b) for b in os.environ.get(
+        "BENCH_SWEEP", f"96,{BATCH},160"
+    ).split(",")]
+    decode_sweep = {}
+    for b in dict.fromkeys(sweep):
+        try:
+            decode_sweep[b] = round(_measure_decode(module, variables, b), 3)
+        except Exception as e:  # one bad point (e.g. VMEM OOM) must not
+            _mark(f"decode@{b} FAILED: {e!r}"[:400])  # kill the whole bench
+            decode_sweep[b] = None
+    ok_points = {b: v for b, v in decode_sweep.items() if v}
+    if not ok_points:
+        raise RuntimeError(f"every decode sweep point failed: {decode_sweep}")
+    peak_batch = max(ok_points, key=ok_points.get)
+    reports_per_sec = ok_points[peak_batch]
 
-    # compile + warmup. NOTE: on the axon tunnel backend block_until_ready does
-    # not wait for execution — a device->host transfer (np.asarray) does, so all
-    # timings force the transfer (sequences are int32 (B, 100): transfer cost
-    # is negligible vs decode).
-    np.asarray(generate(variables, images))
-    _mark("generate compiled + warm")
-
-    # distinct input batches so no caching layer can elide work. Steady-state
-    # throughput: enqueue every batch, then force ONE device->host transfer at
-    # the end — a real eval loop keeps the device queue full the same way, and
-    # a per-call sync would bill the axon tunnel's host round-trip latency
-    # (~tens of ms) against every batch.
-    batches = [
-        jnp.asarray(np.random.default_rng(i).normal(size=(BATCH, IMAGE, IMAGE, 3)),
-                    jnp.float32)
-        for i in range(5)
-    ]
-    # H2D transfers over the axon tunnel are lazy and slow; force every batch
-    # resident before the clock starts (a real pipeline prefetches the same way).
-    for b in batches:
-        np.asarray(b[0, 0, 0])
-    t0 = time.perf_counter()
-    outs = [generate(variables, b) for b in batches]
-    for o in outs:
-        np.asarray(o)
-    dt = (time.perf_counter() - t0) / len(batches)
-
-    reports_per_sec = BATCH / dt
-    _mark(f"decode {reports_per_sec:.1f} rep/s")
-
+    headline = {
+        "metric": "rrg_reports_per_sec_chip_beam8",
+        "value": round(reports_per_sec, 3),
+        "unit": "reports/s/chip",
+        "vs_baseline": round(
+            reports_per_sec / ESTIMATED_A100_REFERENCE_REPORTS_PER_SEC, 3
+        ),
+        "decode_peak_batch": peak_batch,
+        "decode_sweep": {str(k): v for k, v in decode_sweep.items()},
+    }
     if os.environ.get("BENCH_DECODE_ONLY"):  # quick decode-path A/Bs
-        print(json.dumps({
-            "metric": "rrg_reports_per_sec_chip_beam8",
-            "value": round(reports_per_sec, 3),
-            "unit": "reports/s/chip",
-            "vs_baseline": round(
-                reports_per_sec / ESTIMATED_A100_REFERENCE_REPORTS_PER_SEC, 3
-            ),
-        }))
+        print(json.dumps(headline))
         return
-
-    # free the decode batches before the train benches: 5 device-resident
-    # image batches (~385 MB at batch 128) + the RRG train state below must
-    # not be live when the ViT step allocates, or the arena OOMs
-    del batches, outs
 
     train_samples_per_sec, train_mfu, train_step, train_state = bench_train(
         module, variables
     )
-    loader_samples_per_sec, host_img_per_sec = bench_loader(
-        train_step, train_state
-    )
-    _mark("train+loader done")
+    loader_stats = bench_loader(train_step, train_state)
+    _mark(f"train+loader done {loader_stats}")
     del train_step, train_state
-    scst_samples_per_sec = bench_scst(module, variables)
-    _mark("scst done")
+    scst_stats = bench_scst(module, variables)
+    _mark(f"scst done {scst_stats}")
 
+    ids = jnp.zeros((2, 8), jnp.int32)
     vit_module = build_vit_model()
     vit_init = jax.jit(
-        lambda key: vit_module.init({"params": key}, images, ids, mask, train=False)
+        lambda key: vit_module.init(
+            {"params": key}, im0, ids, jnp.ones_like(ids), train=False
+        )
     )
     # batch 64: ViT-base activations at batch 128 exceed single-chip HBM
     # (measured OOM on v5e; 64 also beats 96 — 561 vs 530 samples/s)
     vit_samples_per_sec, vit_mfu, _, _ = bench_train(
         vit_module, vit_init(jax.random.key(0)), batch=min(TRAIN_BATCH, 64)
     )
+    _mark(f"vit train done {vit_samples_per_sec} samples/s mfu={vit_mfu}")
+    del vit_module
+
+    # Second-generation flagship (VL prefix-LM) measured by DEFAULT: the
+    # driver only ever runs bare `python bench.py`, so env-gated VL numbers
+    # would never be recorded (VERDICT r3). 224px/16 decode at the measured
+    # peak batch (32) + a small train step; BENCH_SKIP_VL=1 opts out,
+    # BENCH_VL=1 runs the dedicated DINOv2-scale mode instead.
+    vl_fields = {}
+    if not os.environ.get("BENCH_SKIP_VL"):
+        try:
+            module_vl, variables_vl, generate_vl, vl_batch, vl_image, _ = build_vl()
+            make_images = jax.jit(lambda key: jax.random.normal(
+                key, (vl_batch, vl_image, vl_image, 3), jnp.float32
+            ))
+            vbatches = [make_images(jax.random.key(i)) for i in range(5)]
+            for b in vbatches:
+                np.asarray(b[0, 0, 0])
+            np.asarray(generate_vl(variables_vl, vbatches[0]))
+            t0 = time.perf_counter()
+            vouts = [generate_vl(variables_vl, b) for b in vbatches]
+            for o in vouts:
+                np.asarray(o)
+            vdt = (time.perf_counter() - t0) / len(vbatches)
+            vl_fields["vl_reports_per_sec_chip_beam8"] = round(vl_batch / vdt, 3)
+            del vbatches, vouts
+            sps, mfu = bench_vl_train(module_vl, variables_vl, vl_image)
+            vl_fields["vl_train_samples_per_sec_chip"] = sps
+            vl_fields["vl_train_mfu"] = mfu
+            _mark(f"vl done {vl_fields}")
+        except Exception as e:  # never lose the whole bench line to VL
+            _mark(f"VL bench failed: {e!r}")
+            vl_fields["vl_error"] = str(e)[:200]
 
     print(
         json.dumps(
             {
-                "metric": "rrg_reports_per_sec_chip_beam8",
-                "value": round(reports_per_sec, 3),
-                "unit": "reports/s/chip",
-                "vs_baseline": round(
-                    reports_per_sec / ESTIMATED_A100_REFERENCE_REPORTS_PER_SEC, 3
-                ),
+                **headline,
                 "train_samples_per_sec_chip": train_samples_per_sec,
                 "train_mfu": train_mfu,
-                "loader_train_samples_per_sec_chip": loader_samples_per_sec,
-                "host_loader_img_per_sec": host_img_per_sec,
-                "scst_samples_per_sec_chip": scst_samples_per_sec,
+                **loader_stats,
+                **scst_stats,
                 "vit_train_samples_per_sec_chip": vit_samples_per_sec,
                 "vit_train_mfu": vit_mfu,
+                **vl_fields,
             }
         )
     )
@@ -507,12 +552,13 @@ def bench_train(module, variables, batch=None):
     import optax
 
     batch = batch or TRAIN_BATCH
-    rng = np.random.default_rng(1)
-    images = jnp.asarray(
-        rng.normal(size=(batch, IMAGE, IMAGE, 3)), jnp.float32
-    )
-    ids = jnp.asarray(rng.integers(3, VOCAB, (batch, TRAIN_LEN)), jnp.int32)
+    make_batch = jax.jit(lambda key: (
+        jax.random.normal(key, (batch, IMAGE, IMAGE, 3), jnp.float32),
+        jax.random.randint(key, (batch, TRAIN_LEN), 3, VOCAB, jnp.int32),
+    ))
+    images, ids = make_batch(jax.random.key(1))
     mask = jnp.ones((batch, TRAIN_LEN), jnp.int32)
+    np.asarray(images[0, 0, 0])
 
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
@@ -586,12 +632,22 @@ class _U8Pool:
 
 
 def bench_loader(train_step, state):
-    """Input-pipeline-included training throughput: the real ``DataLoader``
-    (threaded prefetch) feeding u8 batches through ``finalize_device_preproc``
-    (the fused device crop+normalize) into the already-compiled train step.
-    Also reports the host-side loader rate alone (img/s)."""
+    """Input-pipeline-included training throughput, with a breakdown.
+
+    The real ``DataLoader`` (threaded host prefetch) feeds u8 batches through
+    ``finalize_device_preproc`` (fused device crop+normalize) into the
+    already-compiled train step. Four rates are recorded so the r3 10x gap
+    (109.6 loader-fed vs 1036 compute-only, BENCH_r03) is attributed instead
+    of folded together:
+      - host img/s: collate + prefetch only (no device work);
+      - place img/s: H2D + device preproc only (no train step) — the tunnel
+        transfer floor;
+      - sync samples/s: placement on the critical path (pre-round-4 loop);
+      - pipelined samples/s: ``DevicePrefetch`` double-buffering placement
+        behind the train step (the production Trainor path).
+    """
     from vilmedic_tpu.data.image import ImageDataset, finalize_device_preproc
-    from vilmedic_tpu.data.loader import DataLoader
+    from vilmedic_tpu.data.loader import DataLoader, DevicePrefetch
 
     pool = _U8Pool(8 * TRAIN_BATCH, 256, TRAIN_LEN)
     # the REAL device-preproc collate (random-crop offsets drawn on host)
@@ -609,6 +665,11 @@ def bench_loader(train_step, state):
         return DataLoader(pool, TRAIN_BATCH, shuffle=True, drop_last=True,
                           collate_fn=collate, num_workers=4, seed=0)
 
+    def place(batch):
+        fb = finalize_device_preproc(batch, IMAGE)
+        return (fb["images"], jnp.asarray(fb["input_ids"]),
+                jnp.asarray(fb["attention_mask"]))
+
     # host-only rate: collate/prefetch with no device work in the loop
     n = 0
     t0 = time.perf_counter()
@@ -618,28 +679,42 @@ def bench_loader(train_step, state):
 
     params, batch_stats, opt_state = state
     # warmup (finalize_device_preproc compiles crop_normalize once)
-    first = next(iter(loader()))
-    fb = finalize_device_preproc(first, IMAGE)
+    images, ids, mask = place(next(iter(loader())))
     params, batch_stats, opt_state, loss = train_step(
-        params, batch_stats, opt_state, fb["images"],
-        jnp.asarray(fb["input_ids"]), jnp.asarray(fb["attention_mask"]),
-        jax.random.key(0),
+        params, batch_stats, opt_state, images, ids, mask, jax.random.key(0)
     )
     _ = float(loss)
 
+    # placement-only rate: H2D + device preproc, forced resident per batch
     n = 0
     t0 = time.perf_counter()
-    for i, batch in enumerate(loader()):
-        fb = finalize_device_preproc(batch, IMAGE)
-        params, batch_stats, opt_state, loss = train_step(
-            params, batch_stats, opt_state, fb["images"],
-            jnp.asarray(fb["input_ids"]), jnp.asarray(fb["attention_mask"]),
-            jax.random.key(i),
-        )
-        n += int(fb["input_ids"].shape[0])
-    _ = float(loss)
-    dt = time.perf_counter() - t0
-    return round(n / dt, 3), host_img_per_sec
+    for batch in loader():
+        images, ids, mask = place(batch)
+        np.asarray(images.ravel()[0])  # force the lazy tunnel transfer
+        n += int(ids.shape[0])
+    place_img_per_sec = round(n / (time.perf_counter() - t0), 1)
+
+    def run_epoch(batches):
+        nonlocal params, batch_stats, opt_state
+        n = 0
+        t0 = time.perf_counter()
+        for i, (images, ids, mask) in enumerate(batches):
+            params, batch_stats, opt_state, loss = train_step(
+                params, batch_stats, opt_state, images, ids, mask,
+                jax.random.key(i),
+            )
+            n += int(ids.shape[0])
+        _ = float(loss)
+        return round(n / (time.perf_counter() - t0), 3)
+
+    sync_sps = run_epoch(place(b) for b in loader())
+    pipe_sps = run_epoch(iter(DevicePrefetch(loader(), place, depth=2)))
+    return {
+        "loader_train_samples_per_sec_chip": pipe_sps,
+        "loader_train_sync_samples_per_sec_chip": sync_sps,
+        "host_loader_img_per_sec": host_img_per_sec,
+        "h2d_place_img_per_sec": place_img_per_sec,
+    }
 
 
 class _BenchTokenizer:
@@ -656,28 +731,12 @@ class _BenchTokenizer:
         return " ".join(f"w{int(t)}" for t in np.asarray(row) if int(t) > 2)
 
 
-def bench_scst(module, variables):
-    """SCST iteration throughput (samples/s/chip): fused greedy+sample rollout
-    (one decode loop at 2x batch) + host ROUGE-L rewards + the REINFORCE grad
-    step — the real ``RRG_SCST.train_iteration`` path (models/scst_models.py),
-    reference envelope config/RRG/rrg-scst* (SCST.py:48-195)."""
+def _make_scst_model(module, variables, scst_batch, overlap):
     import types
 
-    from vilmedic_tpu.blocks.rl.scst import SCST, scst_loss  # noqa: F401
+    from vilmedic_tpu.blocks.rl.scst import SCST
     from vilmedic_tpu.executors.train_state import TrainState, create_optimizer
     from vilmedic_tpu.models.scst_models import _SCSTBase
-
-    scst_batch = int(os.environ.get("BENCH_SCST_BATCH", 16))
-    rng = np.random.default_rng(3)
-    images = jnp.asarray(
-        rng.normal(size=(scst_batch, IMAGE, IMAGE, 3)), jnp.float32
-    )
-    ids = np.asarray(rng.integers(3, VOCAB, (scst_batch, MAX_LEN)), np.int32)
-    batch = {
-        "images": images,
-        "input_ids": ids,
-        "attention_mask": np.ones_like(ids),
-    }
 
     tok = _BenchTokenizer()
     model = _SCSTBase.__new__(_SCSTBase)
@@ -692,6 +751,10 @@ def bench_scst(module, variables):
     )
     model._rollout_fn = None
     model._grad_fn = None
+    model.overlap_rollout = overlap
+    model._pending = None
+    model._host_step = None
+    model.timing = {"rollout_s": 0.0, "reward_s": 0.0, "grad_s": 0.0, "iters": 0}
 
     tx = create_optimizer("adamw", {"lr": 5e-5})
     state = TrainState(
@@ -700,16 +763,62 @@ def bench_scst(module, variables):
         batch_stats=variables.get("batch_stats", {}),
     )
     trainor = types.SimpleNamespace(tx=tx, rng=jax.random.key(9))
+    return model, state, trainor
 
-    state, loss, _ = model.train_iteration(trainor, state, batch, 5e-5)  # compile
-    float(loss)  # drain compile-step work before timing
-    N = 3
-    t0 = time.perf_counter()
-    for _ in range(N):
-        state, loss, _ = model.train_iteration(trainor, state, batch, 5e-5)
-    float(loss)  # force the last grad step (block_until_ready is a no-op on axon)
-    dt = (time.perf_counter() - t0) / N
-    return round(scst_batch / dt, 3)
+
+def bench_scst(module, variables):
+    """SCST iteration throughput (samples/s/chip): fused greedy+sample rollout
+    (one decode loop at 2x batch) + host ROUGE-L rewards + the REINFORCE grad
+    step — the real ``RRG_SCST.train_iteration`` path (models/scst_models.py),
+    reference envelope config/RRG/rrg-scst* (SCST.py:48-195).
+
+    Measures BOTH modes — strict on-policy (serial) and the opt-in
+    ``overlap_rollout`` pipeline (host ROUGE-L overlapped with the next device
+    rollout; one-step-stale policy) — plus the serial mode's per-phase wall
+    split so the floor is attributed (rollout decode vs host rewards).
+    """
+    scst_batch = int(os.environ.get("BENCH_SCST_BATCH", 16))
+    rng = np.random.default_rng(3)
+    images = jnp.asarray(
+        rng.normal(size=(scst_batch, IMAGE, IMAGE, 3)), jnp.float32
+    )
+    ids = np.asarray(rng.integers(3, VOCAB, (scst_batch, MAX_LEN)), np.int32)
+    batch = {
+        "images": images,
+        "input_ids": ids,
+        "attention_mask": np.ones_like(ids),
+    }
+
+    out = {}
+    for mode, overlap in (("scst", False), ("scst_overlap", True)):
+        model, state, trainor = _make_scst_model(
+            module, variables, scst_batch, overlap
+        )
+        # two warmup iterations: overlapped mode compiles the rollout on the
+        # first call and the grad step only on the second
+        for _ in range(2):
+            state, loss, _ = model.train_iteration(trainor, state, batch, 5e-5)
+        if loss is not None:
+            float(loss)  # drain compile-step work before timing
+        model.timing = {k: 0.0 for k in model.timing} | {"iters": 0}
+        N = 6
+        t0 = time.perf_counter()
+        for _ in range(N):
+            state, loss, _ = model.train_iteration(trainor, state, batch, 5e-5)
+        if model._pending is not None:  # overlapped: flush the tail honestly
+            state, loss, _ = model.finish_epoch(trainor, state, 5e-5)
+        float(loss)  # force the last grad step (block_until_ready no-op on axon)
+        dt = (time.perf_counter() - t0) / N
+        out[f"{mode}_samples_per_sec_chip"] = round(scst_batch / dt, 3)
+        if not overlap:
+            t = model.timing
+            iters = max(1, t["iters"])
+            out["scst_split_ms"] = {
+                "rollout": round(1e3 * t["rollout_s"] / iters, 1),
+                "reward": round(1e3 * t["reward_s"] / iters, 1),
+                "grad_dispatch": round(1e3 * t["grad_s"] / iters, 1),
+            }
+    return out
 
 
 if __name__ == "__main__":

@@ -82,9 +82,39 @@ def test_pick_tile_v_calibration():
 
     assert pick_tile_v(256, 768) == 1024   # batch 32, beam 8
     assert pick_tile_v(512, 768) == 1024   # batch 64
+    assert pick_tile_v(768, 768) == 512    # batch 96 (tile 1024 OOMs: 16.45M r4)
     assert pick_tile_v(1024, 768) == 512   # batch 128 (tile 1024 OOMs)
+    assert pick_tile_v(1280, 768) == 256   # batch 160 (model under-predicts
+    #                                        near the boundary; stay clear)
     assert pick_tile_v(1536, 768) == 256   # batch 192 (tile 512 OOMs: 16.82M)
     assert pick_tile_v(2048, 768) <= 256
+
+
+def test_pick_tile_v_portability_guard(monkeypatch):
+    """On uncalibrated chips the budget falls back conservatively; an env
+    override wins; and the picked tile's working set NEVER exceeds the
+    budget (a simulated smaller-VMEM chip cannot scoped-OOM)."""
+    from vilmedic_tpu.ops import blocked_lm_head as mod
+
+    # kind policy: calibrated kinds + cpu keep the measured budget;
+    # anything else (v4, v5p, v6e, unknown) degrades conservatively
+    assert mod._budget_for_kind("TPU v5 lite") == mod._CALIBRATED_BUDGET
+    assert mod._budget_for_kind("cpu") == mod._CALIBRATED_BUDGET
+    for kind in ("TPU v4", "TPU v5p", "TPU v6e", "weirdchip", ""):
+        assert mod._budget_for_kind(kind) == mod._CONSERVATIVE_BUDGET
+
+    # env override is authoritative
+    monkeypatch.setenv("VILMEDIC_LMHEAD_VMEM_MB", "6")
+    assert mod.vmem_budget_bytes() == 6 << 20
+
+    # safety invariant across a shape sweep and simulated budgets
+    for budget in (6 << 20, mod._CONSERVATIVE_BUDGET, mod._CALIBRATED_BUDGET):
+        for n in (64, 256, 512, 1024, 1536, 2048, 4096):
+            tile = mod.pick_tile_v(n, 768, budget_bytes=budget)
+            if tile > 128:  # 128 is the floor even when nothing fits
+                assert mod.tile_working_set_bytes(n, 768, tile) <= budget
+            smaller = mod.pick_tile_v(n, 768, budget_bytes=budget // 2)
+            assert smaller <= tile  # monotone in the budget
 
 
 def test_selection_from_kernel_stats_matches_blocks_route(data):

@@ -218,3 +218,62 @@ def test_to_huggingface_processor():
 
     ds2 = ImageDataset(split="validate", inference_only=True, custom_transform_validate="_IdentityT")
     assert ds2.to_huggingface_processor() is None
+
+
+def test_device_prefetch_overlap_and_errors():
+    """DevicePrefetch yields placed batches in order, overlaps place_fn with
+    consumption, and propagates producer exceptions to the consumer."""
+    import time
+
+    from vilmedic_tpu.data.loader import DevicePrefetch
+
+    import jax.numpy as jnp
+
+    batches = [{"x": np.full((2, 3), i, np.float32)} for i in range(6)]
+    placed = []
+
+    def place(b):
+        placed.append(len(placed))
+        return {"x": jnp.asarray(b["x"]) + 1}
+
+    out = list(DevicePrefetch(batches, place, depth=2))
+    assert len(out) == 6
+    for i, b in enumerate(out):
+        assert float(b["x"][0, 0]) == i + 1
+
+    # placement runs ahead of consumption (depth-2 buffer)
+    seen = []
+
+    def slow_consumer():
+        it = iter(DevicePrefetch(batches, place2, depth=2))
+        first = next(it)
+        time.sleep(0.15)  # while we sleep, the producer fills the buffer
+        seen.append(len(placed2))
+        for b in it:
+            pass
+
+    placed2 = []
+
+    def place2(b):
+        placed2.append(1)
+        return b
+
+    slow_consumer()
+    assert seen[0] >= 3  # first consumed + >=2 buffered ahead
+
+    # errors surface on the consumer thread, not silently swallowed
+    def bad_place(b):
+        raise ValueError("boom")
+
+    with pytest.raises(ValueError, match="boom"):
+        list(DevicePrefetch(batches, bad_place))
+
+
+def test_device_prefetch_early_exit():
+    """Breaking out of the consumer loop does not deadlock the producer."""
+    from vilmedic_tpu.data.loader import DevicePrefetch
+
+    batches = [{"x": np.zeros(1)} for _ in range(100)]
+    it = iter(DevicePrefetch(batches, lambda b: b, depth=2))
+    next(it)
+    it.close()  # generator close -> finally drains the producer

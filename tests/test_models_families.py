@@ -216,6 +216,41 @@ def test_rrg_scst_iteration(workdir, tmp_path):
     # SCST ran its own train_iteration path for each batch of the epoch
     assert trainor.training_scheduler.iteration_count == 2
     assert np.isfinite(evaluator.scores[0]["validation_loss"])
+    # phase split recorded for observability/bench
+    t = trainor.model.timing
+    assert t["iters"] == 2 and t["reward_s"] > 0
+
+
+def test_rrg_scst_overlapped_pipeline(workdir, tmp_path):
+    """overlap_rollout: every batch still gets exactly one grad step (the
+    trailing rollout flushes through finish_epoch) and losses stay finite."""
+    config = _base_config(
+        workdir, tmp_path,
+        dataset={
+            "proto": "ImSeq",
+            "image": {"root": str(workdir), "file": "image.tok", "resize": 40,
+                      "crop": 32, "ext": ".jpg"},
+            "seq": {"root": str(workdir), "file": "report.tok", "source": "tgt",
+                    "tokenizer_max_len": 12},
+            "num_workers": 0,
+        },
+        model={
+            "proto": "RRG_SCST",
+            "decoder": dict(TINY_TRANSFORMER, proto=None),
+            "cnn": dict(TINY_VIT),
+            "scores": "rougel",
+            "top_k": 5,
+            "overlap_rollout": True,
+        },
+    )
+    trainor, evaluator = _run(config, 515155)
+    assert trainor.training_scheduler.iteration_count == 2
+    # both batches grad-stepped: 1 in-loop (pipelined) + 1 epoch-boundary flush
+    assert trainor.model.timing["iters"] == 2
+    assert trainor.model._pending is None
+    # warmup iteration returned no loss; the other two drained finitely
+    assert len(trainor.epoch_losses) == 1 and np.isfinite(trainor.epoch_losses[0])
+    assert np.isfinite(evaluator.scores[0]["validation_loss"])
 
 
 def test_rrg_force_constrained_eval(workdir, tmp_path):

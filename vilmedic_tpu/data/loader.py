@@ -132,6 +132,91 @@ class DataLoader:
 _SENTINEL = object()
 
 
+class DevicePrefetch:
+    """Device-side double buffering: overlap the H2D transfer + device-side
+    preprocessing of batch i+1 with the train step running on batch i.
+
+    The host ``DataLoader`` already overlaps disk/collate work through its
+    thread pool, but the *placement* of each batch (``jax.device_put`` /
+    ``shard_batch`` + the jitted u8 crop+normalize) used to run synchronously
+    on the training thread between steps — on a tunneled host the H2D copy
+    alone serialized the loop (BENCH_r03: 109.6 loader-fed vs 1036 compute-only
+    samples/s). This wrapper moves placement into a background thread with a
+    bounded queue so the device works on step i while batch i+1 streams in.
+
+    ``place_fn`` maps a host batch -> device batch (e.g. ``shard_batch`` after
+    ``prepare_batch``). JAX dispatch is thread-safe; with ``force=True`` the
+    prefetch thread additionally reads back one element per array leaf so lazy
+    tunnel transfers are paid off the critical path rather than inside the next
+    train step.
+
+    Reference intent: DataLoader workers + pin_memory + persistent_workers
+    (reference vilmedic/executors/utils.py:140-198) — the TPU-native analog is
+    transfer/compute overlap, since there is no pinned-host-memory concept.
+    """
+
+    def __init__(self, iterable, place_fn, depth: int = 2, force: bool = True):
+        self.iterable = iterable
+        self.place_fn = place_fn
+        self.depth = max(1, depth)
+        self.force = force
+
+    @staticmethod
+    def _force_resident(batch):
+        """Touch one element of every device-array leaf: on backends with lazy
+        H2D (axon tunnel) this makes the prefetch thread pay the transfer."""
+        import jax
+
+        def touch(x):
+            # multi-host global arrays are not fully addressable — reading any
+            # element would raise; their per-host buffers were already local
+            if isinstance(x, jax.Array) and x.size and x.is_fully_addressable:
+                np.asarray(x.ravel()[0])
+            return x
+
+        return jax.tree.map(touch, batch)
+
+    def __iter__(self):
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.depth)
+        stop = threading.Event()
+
+        def producer():
+            try:
+                for host_batch in self.iterable:
+                    if stop.is_set():
+                        return
+                    dev_batch = self.place_fn(host_batch)
+                    if self.force:
+                        dev_batch = self._force_resident(dev_batch)
+                    out_q.put(dev_batch)
+                out_q.put(_SENTINEL)
+            except BaseException as e:  # surface loader errors on the consumer
+                out_q.put(_PrefetchError(e))
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        try:
+            while True:
+                item = out_q.get()
+                if item is _SENTINEL:
+                    break
+                if isinstance(item, _PrefetchError):
+                    raise item.error
+                yield item
+        finally:
+            stop.set()
+            while thread.is_alive():
+                try:
+                    out_q.get_nowait()
+                except queue.Empty:
+                    break
+
+
+class _PrefetchError:
+    def __init__(self, error: BaseException):
+        self.error = error
+
+
 def _default_collate(batch):
     out = {}
     for key in batch[0]:

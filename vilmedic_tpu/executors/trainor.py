@@ -51,6 +51,10 @@ class Trainor:
         self.save_every_epoch = bool(config.get("save_every_epoch", False))
         self.eval_only = bool(config.get("eval_only", False))
         self.profile_dir = config.get("profile_dir")
+        # H2D/compute overlap depth: batches i+1..i+depth are device_put (and
+        # device-preprocessed) by a background thread while step i runs.
+        # 0 disables (synchronous placement, the pre-round-4 behavior).
+        self.device_prefetch = int(config.get("device_prefetch", 2) or 0)
 
         self.logger = logging.getLogger(str(seed))
         self.state_dict = load_checkpoint(self.ckpt) if self.ckpt else None
@@ -280,7 +284,7 @@ class Trainor:
 
             custom_print = ""
             profiling = False
-            for iteration, batch in enumerate(self.dl, start=1):
+            for iteration, batch in enumerate(self._device_batches(), start=1):
                 if self.profile_dir and epoch == 0 and iteration == 3:
                     try:
                         jax.profiler.start_trace(self.profile_dir)
@@ -290,21 +294,20 @@ class Trainor:
                 if profiling and iteration == 6:
                     jax.profiler.stop_trace()
                     profiling = False
-                batch = shard_batch(self._model_batch(batch), self.mesh)
                 lr = jnp.asarray(scheduler.current_lr(), jnp.float32)
 
                 if hasattr(self.model, "train_iteration"):
                     # Model owns its training step (SCST: rollouts + host
-                    # rewards + policy-gradient update).
+                    # rewards + policy-gradient update). The loss comes back
+                    # ON DEVICE (None on a pipelined warmup iteration) and is
+                    # drained one step late like the supervised path — the
+                    # non-finite gate already ran inside the model's jit.
                     self.state, loss, custom_print = self.model.train_iteration(
                         self, self.state, batch, lr
                     )
-                    if not np.isfinite(loss):
-                        self.logger.warning(
-                            f"NaN/Inf loss at epoch {epoch + 1}, iter {iteration}. Skipping..."
-                        )
-                        continue
-                    losses.append(loss)
+                    if loss is not None:
+                        pending = self._drain_loss(pending, losses, epoch)
+                        pending = (iteration, loss)
                     scheduler.iteration_step(epoch + iteration / max(1, len(self.dl)))
                 elif self.grad_accu == 1:
                     self.state, loss = self._train_step(self.state, batch, lr, self.rng)
@@ -349,6 +352,18 @@ class Trainor:
 
             if profiling:  # short epochs: close the trace
                 jax.profiler.stop_trace()
+
+            if hasattr(self.model, "finish_epoch"):
+                # pipelined SCST: grad-step the trailing rollout at the epoch
+                # boundary so no batch is dropped (models/scst_models.py)
+                tail = self.model.finish_epoch(
+                    self, self.state,
+                    jnp.asarray(scheduler.current_lr(), jnp.float32),
+                )
+                if tail is not None:
+                    self.state, tail_loss, custom_print = tail
+                    pending = self._drain_loss(pending, losses, epoch)
+                    pending = (iteration, tail_loss)
 
             pending = self._drain_loss(pending, losses, epoch)  # flush the last loss
 
@@ -428,6 +443,21 @@ class Trainor:
                 return
 
     # ------------------------------------------------------------------
+    def _device_batches(self):
+        """Iterate the epoch's batches already placed on the mesh.
+
+        With ``device_prefetch > 0`` (default 2) placement — ``shard_batch``'s
+        H2D copy plus the jitted u8 crop+normalize — runs in a background
+        thread overlapping the train step on the previous batch
+        (data/loader.DevicePrefetch). Synchronous fallback otherwise.
+        """
+        place = lambda b: shard_batch(self._model_batch(b), self.mesh)  # noqa: E731
+        if self.device_prefetch > 0:
+            from ..data.loader import DevicePrefetch
+
+            return iter(DevicePrefetch(self.dl, place, depth=self.device_prefetch))
+        return (place(b) for b in self.dl)
+
     def _model_batch(self, batch):
         """Keep only array-valued entries the jitted step can consume, and run
         pending device-side preprocessing (u8 -> normalized float images)."""

@@ -41,7 +41,7 @@ class _SCSTBase(TaskModel):
 
     def __init__(self, dl=None, logger=None, from_training=True, scores="ROUGEL",
                  ckpt=None, scores_args=None, scores_weights=None, top_k=None,
-                 use_nll=False, **base_kwargs):
+                 use_nll=False, overlap_rollout=False, **base_kwargs):
         base_cls = registry.get("model", self.base_proto)
         self.model = base_cls(dl=dl, logger=logger, from_training=from_training,
                               **base_kwargs)
@@ -70,6 +70,14 @@ class _SCSTBase(TaskModel):
         self.variables: Optional[Dict] = None
         self._rollout_fn = None
         self._grad_fn = None
+        # opt-in pipelining: rollout i+1 is dispatched BEFORE grad step i, so
+        # the host's reward scoring overlaps the device rollout — at the cost
+        # of sampling from a one-step-stale policy (docs/performance.md).
+        # Default off: the reference SCST loop is strictly on-policy.
+        self.overlap_rollout = bool(overlap_rollout)
+        self._pending = None  # (batch, enc_inputs, greedy_dev, sampled_dev, rng)
+        # per-phase wall time split (seconds, cumulative) for bench/observability
+        self.timing = {"rollout_s": 0.0, "reward_s": 0.0, "grad_s": 0.0, "iters": 0}
 
     # -- executor contract --------------------------------------------------
     def init_variables(self, rng, batch):
@@ -201,36 +209,129 @@ class _SCSTBase(TaskModel):
 
         return rollouts, grad_step
 
-    def train_iteration(self, trainor, state, batch, lr):
-        if self._rollout_fn is None:
-            self._rollout_fn, self._grad_fn = self._build_jitted(trainor.tx)
+    def _fold_rng(self, trainor, state):
+        # host-side step mirror: folding on int(state.step) would force a
+        # device sync (a full tunnel round-trip) every iteration
+        if not hasattr(self, "_host_step") or self._host_step is None:
+            self._host_step = int(state.step)
+        rng = jax.random.fold_in(trainor.rng, self._host_step)
+        self._host_step += 1
+        return rng
 
-        variables = {"params": state.params}
-        if state.batch_stats:
-            variables["batch_stats"] = state.batch_stats
+    def _score_and_grad(self, state, batch, enc_inputs, greedy_np, sampled_np,
+                        sampled_dev, lr):
+        """Host rewards for one rollout pair + the jitted REINFORCE step.
 
-        enc_inputs = self.encoder_inputs(batch)
-        rng = jax.random.fold_in(trainor.rng, int(state.step))
-        greedy_ids, sampled_ids = self._rollout_fn(variables, enc_inputs, rng)
-        greedy_np = np.asarray(greedy_ids)
-        sampled_np = np.asarray(sampled_ids)
+        Returns ``(new_state, device_loss, custom_print)`` — the loss is left
+        ON DEVICE so the epoch loop can drain it one step late (the same
+        pipeline-keeping trick as Trainor's supervised path); the non-finite
+        gate already ran inside the jit.
+        """
+        import time
+
+        t0 = time.perf_counter()
         refs_np = np.asarray(batch["input_ids"])
-
         reward_greedy, _, _ = self.scst.get_reward(greedy_np, refs_np)
         reward_sampling, _, _ = self.scst.get_reward(sampled_np, refs_np)
         advantages = np.stack(
             [rs - rg for rs, rg in zip(reward_sampling, reward_greedy)]
         ).astype(np.float32)  # (n_scores, B)
+        t1 = time.perf_counter()
 
         new_state, loss = self._grad_fn(
-            state, batch, enc_inputs, sampled_ids, jnp.asarray(advantages), lr, rng
+            state, batch, enc_inputs, sampled_dev, jnp.asarray(advantages), lr,
+            jax.random.key(0),  # rng unused by the deterministic grad step
         )
+        t2 = time.perf_counter()
+        self.timing["reward_s"] += t1 - t0
+        self.timing["grad_s"] += t2 - t1  # dispatch only: execution is async
+        self.timing["iters"] += 1
+
         delta = float(np.mean(advantages))
         custom = (
             f"reward_sampling {float(np.mean(np.concatenate(reward_sampling))):.4f}, "
             f"delta_reward: {delta:.4f}"
         )
-        return new_state, float(loss), custom
+        return new_state, loss, custom
+
+    def train_iteration(self, trainor, state, batch, lr):
+        if self._rollout_fn is None:
+            self._rollout_fn, self._grad_fn = self._build_jitted(trainor.tx)
+        if self.overlap_rollout:
+            return self._train_iteration_overlapped(trainor, state, batch, lr)
+        return self._train_iteration_serial(trainor, state, batch, lr)
+
+    def _train_iteration_serial(self, trainor, state, batch, lr):
+        """Exact on-policy SCST step (reference SCST.py:48-195 semantics):
+        rollout -> host rewards -> REINFORCE grad, strictly in order. The
+        device necessarily idles during reward scoring (the grad step's
+        advantages depend on it); the loss is still returned un-drained so the
+        epoch loop never blocks on the update itself."""
+        import time
+
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        enc_inputs = self.encoder_inputs(batch)
+        rng = self._fold_rng(trainor, state)
+
+        t0 = time.perf_counter()
+        greedy_ids, sampled_ids = self._rollout_fn(variables, enc_inputs, rng)
+        greedy_np = np.asarray(greedy_ids)  # blocks: rollout (+ prev grad tail)
+        sampled_np = np.asarray(sampled_ids)
+        self.timing["rollout_s"] += time.perf_counter() - t0
+
+        return self._score_and_grad(
+            state, batch, enc_inputs, greedy_np, sampled_np, sampled_ids, lr
+        )
+
+    def _train_iteration_overlapped(self, trainor, state, batch, lr):
+        """Pipelined SCST (opt-in ``overlap_rollout: true``): dispatch THIS
+        batch's rollout first, then score + grad-step the PREVIOUS batch while
+        the device decodes — host ROUGE-L overlaps the rollout instead of
+        serializing after it. The sampled sequences are one policy update old
+        when their grad applies (standard async-RL staleness; the reference
+        loop is strictly on-policy, hence default off — docs/performance.md).
+        Returns ``(state, None, "")`` on the warmup iteration; the epoch loop
+        flushes the tail via ``finish_epoch``."""
+        import time
+
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        enc_inputs = self.encoder_inputs(batch)
+        rng = self._fold_rng(trainor, state)
+        greedy_dev, sampled_dev = self._rollout_fn(variables, enc_inputs, rng)
+
+        prev, self._pending = self._pending, (batch, enc_inputs, greedy_dev,
+                                              sampled_dev)
+        if prev is None:
+            return state, None, ""
+        p_batch, p_enc, p_greedy, p_sampled = prev
+        t0 = time.perf_counter()
+        greedy_np = np.asarray(p_greedy)  # already computed during last iter
+        sampled_np = np.asarray(p_sampled)
+        self.timing["rollout_s"] += time.perf_counter() - t0
+        return self._score_and_grad(
+            state, p_batch, p_enc, greedy_np, sampled_np, p_sampled, lr
+        )
+
+    def finish_epoch(self, trainor, state, lr):
+        """Flush the overlapped pipeline's trailing rollout (epoch boundary).
+        Returns ``(state, device_loss, custom)`` or None when nothing pends."""
+        if self._pending is None:
+            return None
+        import time
+
+        p_batch, p_enc, p_greedy, p_sampled = self._pending
+        self._pending = None
+        t0 = time.perf_counter()
+        greedy_np = np.asarray(p_greedy)
+        sampled_np = np.asarray(p_sampled)
+        self.timing["rollout_s"] += time.perf_counter() - t0
+        return self._score_and_grad(
+            state, p_batch, p_enc, greedy_np, sampled_np, p_sampled, lr
+        )
 
     def __repr__(self):
         return f"model: {type(self).__name__}\n{self.scst}"

@@ -73,22 +73,81 @@ def _kernel(h_ref, w_ref, b_ref, out_ref, bmax_ref, bsum_ref, *, tile_v: int):
     )
 
 
-def pick_tile_v(n: int, hidden: int, budget_bytes: int = 14 << 20) -> int:
+# VMEM budget calibration. The 14 MB working budget was measured against
+# v5e's 16 MB scoped-vmem compiler limit (see pick_tile_v docstring). On a
+# chip generation the model was never calibrated against, fall back to a
+# conservative budget (tile never OOMs, worst case a narrower tile) and log
+# once; VILMEDIC_LMHEAD_VMEM_MB overrides either way.
+_CALIBRATED_BUDGET = int(12.5 * (1 << 20))
+_CONSERVATIVE_BUDGET = 10 << 20
+# v5e measured; v4/v5p/v6e share the same default 16 MiB scoped-vmem XLA
+# limit but have NOT been measured — treated as uncalibrated until they are.
+_CALIBRATED_KINDS = ("tpu v5 lite", "tpu v5e")
+_budget_warned = False
+
+
+def _budget_for_kind(kind: str) -> int:
+    """Pure policy: working-set budget for a device kind (tested directly)."""
+    kind = (kind or "").lower()
+    if any(k in kind for k in _CALIBRATED_KINDS):
+        return _CALIBRATED_BUDGET
+    if "cpu" in kind:
+        # interpret/jnp path: no scoped VMEM; keep v5e tile choices so CPU
+        # tests lock the hardware policy
+        return _CALIBRATED_BUDGET
+    return _CONSERVATIVE_BUDGET
+
+
+def vmem_budget_bytes() -> int:
+    import logging
+    import os
+
+    env = os.environ.get("VILMEDIC_LMHEAD_VMEM_MB")
+    if env:
+        return int(float(env) * (1 << 20))
+    try:
+        kind = jax.devices()[0].device_kind
+    except Exception:
+        kind = ""
+    budget = _budget_for_kind(kind)
+    global _budget_warned
+    if budget == _CONSERVATIVE_BUDGET and not _budget_warned:
+        _budget_warned = True
+        logging.getLogger(__name__).warning(
+            "blocked_lm_head: device kind %r not VMEM-calibrated; using a "
+            "conservative %d MB tile budget (override with "
+            "VILMEDIC_LMHEAD_VMEM_MB)", kind, _CONSERVATIVE_BUDGET >> 20,
+        )
+    return budget
+
+
+def tile_working_set_bytes(n: int, hidden: int, tile: int) -> int:
+    """Mosaic's double-buffered working set for one grid step (see
+    pick_tile_v): every in/out block x2 — (n, tile) f32 logits out,
+    (hidden, tile) bf16 weights, (n, hidden) bf16 hiddens (invariant
+    index_map, still double-buffered), two (n, 128) f32 stats blocks."""
+    return 2 * (n * tile * 4 + hidden * tile * 2 + n * hidden * 2
+                + 2 * n * BLK * 4)
+
+
+def pick_tile_v(n: int, hidden: int, budget_bytes: int = None) -> int:
     """Largest vocab tile whose double-buffered VMEM working set fits.
 
-    Mosaic double-buffers EVERY in/out block per grid step: the (n, tile_v)
-    f32 logits out block, the (hidden, tile_v) bf16 weight block, the
-    (n, hidden) bf16 hidden block (invariant index_map, still
-    double-buffered) and the two (n, 128) f32 stats blocks. Calibrated on
-    v5e: n=1536/tile 512 allocates a measured 16.82 MB scoped (model:
-    15.7 MB) and OOMs the 16 MB limit; n=1024/tile 1024 also OOMs while
-    n=1024/tile 512 (model 11.0 MB) compiles — so the budget sits at 14 MB
-    against this model and the tile narrows as the row count grows.
+    Calibrated on v5e against five measured points (the model is imprecise
+    in BOTH directions, so the budget is set to separate every measured
+    OK from every measured OOM):
+      tile 1024: n=512 compiles (model 9.96 MB); n=768 OOMs at a real
+      16.45 MB scoped (model 13.4 — 3 MB under!); n=1024 OOMs (model 16.8).
+      tile 512: n=1024 compiles (model 11.0); n=1536 OOMs at a real
+      16.82 MB (model 15.7).
+    12.5 MB sits between the largest passing model value (11.0) and the
+    smallest failing one (13.4). On uncalibrated chips the budget drops to
+    10 MB (``vmem_budget_bytes``).
     """
+    if budget_bytes is None:
+        budget_bytes = vmem_budget_bytes()
     for tile in (1024, 512, 256, 128):
-        need = 2 * (n * tile * 4 + hidden * tile * 2 + n * hidden * 2
-                    + 2 * n * BLK * 4)
-        if need <= budget_bytes:
+        if tile_working_set_bytes(n, hidden, tile) <= budget_bytes:
             return tile
     return 128
 
