@@ -753,6 +753,7 @@ def _make_scst_model(module, variables, scst_batch, overlap):
     model._grad_fn = None
     model.overlap_rollout = overlap
     model._pending = None
+    model._drain_pool = None
     model._host_step = None
     model.timing = {"rollout_s": 0.0, "reward_s": 0.0, "grad_s": 0.0, "iters": 0}
 

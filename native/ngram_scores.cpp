@@ -148,4 +148,48 @@ double bleu_score(const char* const* refs, const char* const* hyps, int n,
   return bleu_from_stats(tot_testlen, tot_reflen, tot_guess, tot_correct, max_n);
 }
 
+// ROUGE-L F1 per pair (LCS over space-separated tokens — the caller has
+// already applied rouge_score's tokenize+stem, so this is only the O(m*n)
+// DP that dominates the Python package's runtime in the SCST reward loop;
+// semantics mirror rouge_score.rouge_scorer._score_lcs exactly).
+// refs/hyps: n space-joined token strings; f1_out: n doubles.
+void rouge_l_batch(const char* const* refs, const char* const* hyps, int n,
+                   double* f1_out) {
+  std::unordered_map<std::string, int> intern;
+  auto to_ids = [&intern](const char* s) {
+    std::vector<int> ids;
+    for (const auto& tok : tokenize(s)) {
+      auto it = intern.emplace(tok, (int)intern.size()).first;
+      ids.push_back(it->second);
+    }
+    return ids;
+  };
+  std::vector<int> prev, cur;
+  for (int i = 0; i < n; ++i) {
+    std::vector<int> r = to_ids(refs[i]);
+    std::vector<int> h = to_ids(hyps[i]);
+    if (r.empty() || h.empty()) {
+      f1_out[i] = 0.0;
+      continue;
+    }
+    const size_t m = h.size();
+    prev.assign(m + 1, 0);
+    cur.assign(m + 1, 0);
+    for (size_t a = 1; a <= r.size(); ++a) {
+      const int ra = r[a - 1];
+      for (size_t b = 1; b <= m; ++b) {
+        cur[b] = (ra == h[b - 1]) ? prev[b - 1] + 1
+                                  : std::max(prev[b], cur[b - 1]);
+      }
+      std::swap(prev, cur);
+    }
+    const double lcs = (double)prev[m];
+    const double precision = lcs / (double)h.size();
+    const double recall = lcs / (double)r.size();
+    f1_out[i] = (precision + recall > 0.0)
+                    ? 2.0 * precision * recall / (precision + recall)
+                    : 0.0;
+  }
+}
+
 }  // extern "C"

@@ -346,10 +346,13 @@ def test_rrg_device_preproc(workdir, tmp_path):
     )
     trainor, evaluator = _run(config, 515157)
     assert "BLEU" in evaluator.scores[0]
-    # collate really produced u8 batches
+    # collate really produced u8 batches, already host-cropped to crop size
+    # (the wire carries 32^2 not 40^2 bytes — H2D is the measured loader
+    # floor; the device half is the u8->f32 normalize)
     batch = next(iter(trainor.dl))
     assert batch["images_u8"].dtype.name == "uint8"
-    assert batch["images_u8"].shape[1:] == (40, 40, 3)
+    assert batch["images_u8"].shape[1:] == (32, 32, 3)
+    assert not batch["preproc_tops"].any()  # offsets consumed on host
 
 
 def test_gloria_whole_word_aggregation():

@@ -125,3 +125,33 @@ def test_spice_cli_dispatch(tmp_path):
         split="t", seed=0, config=None, epoch=0, logger=None, dump=False,
     )
     assert scores["SPICE"] == 1.0
+
+
+def test_rouge_l_native_parity_bit_exact():
+    """The C++ LCS fast path (SCST reward hot loop) must be BIT-identical to
+    rouge_score's pure-Python scorer — same tokenize+stem feeds both, and the
+    P/R/F1 arithmetic uses the same operation order."""
+    from vilmedic_tpu.scorers.nlg.native import get_lib
+    from vilmedic_tpu.scorers.nlg.rouge import Rouge
+
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "rouge_l_batch"):
+        pytest.skip("native lib unavailable")
+
+    rng = np.random.default_rng(0)
+    words = ["pleural", "effusion", "cardiomegaly", "the", "NO", "increased",
+             "unchanged", "right-sided", "2", "opacities", "atelectasis,",
+             "is", "seen.", "running", "flies", "", "consolidation"]
+    refs, hyps = [], []
+    for i in range(40):
+        refs.append(" ".join(rng.choice(words, rng.integers(0, 60))))
+        hyps.append(" ".join(rng.choice(words, rng.integers(0, 60))))
+    refs += ["", "only one side", "a b c"]
+    hyps += ["nonempty", "", "a b c"]
+
+    scorer = Rouge(rouges=["rougeL"])
+    fast = scorer._rouge_l_fast(refs, hyps)
+    assert fast is not None
+    slow = [scorer.scorer.score(r, h)["rougeL"].fmeasure
+            for r, h in zip(refs, hyps)]
+    assert fast == slow  # bit-exact, not approx

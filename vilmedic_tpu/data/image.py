@@ -347,8 +347,15 @@ class ImageDataset:
             rng = np.random.default_rng()
 
             def collate_fn(batch):
-                images = np.stack([np.asarray(s["image"][0]) for s in batch])
-                b, r = images.shape[0], images.shape[1]
+                # random crop applied HERE as a u8 slice: the crop itself is
+                # a (crop, crop) memcpy either way, and doing it host-side
+                # ships 224^2 instead of 256^2 bytes per image — 25% less
+                # H2D traffic, which IS the measured loader floor on
+                # bandwidth-limited links (BENCH r4: h2d_place 95 img/s vs
+                # host collate 1967). The device half (crop_normalize with
+                # zero offsets) reduces to the u8->f32 normalize.
+                imgs = [np.asarray(s["image"][0]) for s in batch]
+                b, r = len(imgs), imgs[0].shape[0]
                 span = max(r - self.crop, 0)
                 if is_train and span > 0:
                     tops = rng.integers(0, span + 1, b).astype(np.int32)
@@ -356,10 +363,16 @@ class ImageDataset:
                 else:
                     tops = np.zeros(b, np.int32)
                     lefts = np.zeros(b, np.int32)
+                c = self.crop
+                images = np.stack([
+                    im[t: t + c, l: l + c]
+                    for im, t, l in zip(imgs, tops, lefts)
+                ])
+                zeros = np.zeros(b, np.int32)
                 return {
                     "images_u8": images,
-                    "preproc_tops": tops,
-                    "preproc_lefts": lefts,
+                    "preproc_tops": zeros,
+                    "preproc_lefts": zeros,
                     "images_mask": None,
                 }
 

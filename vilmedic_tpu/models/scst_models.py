@@ -75,7 +75,8 @@ class _SCSTBase(TaskModel):
         # of sampling from a one-step-stale policy (docs/performance.md).
         # Default off: the reference SCST loop is strictly on-policy.
         self.overlap_rollout = bool(overlap_rollout)
-        self._pending = None  # (batch, enc_inputs, greedy_dev, sampled_dev, rng)
+        self._pending = None  # (batch, enc_inputs, readback_future, sampled_dev)
+        self._drain_pool = None  # 1-thread executor that BLOCKS on the rollout
         # per-phase wall time split (seconds, cumulative) for bench/observability
         self.timing = {"rollout_s": 0.0, "reward_s": 0.0, "grad_s": 0.0, "iters": 0}
 
@@ -292,9 +293,16 @@ class _SCSTBase(TaskModel):
         serializing after it. The sampled sequences are one policy update old
         when their grad applies (standard async-RL staleness; the reference
         loop is strictly on-policy, hence default off — docs/performance.md).
+
+        The rollout readback runs in a dedicated 1-thread drainer: merely
+        *dispatching* device work does not start it on demand-driven backends
+        (axon executes when a transfer demands the result — dispatch-only
+        "overlap" measured SLOWER than serial, 38.8 vs 51.8 samples/s,
+        BENCH r4), so the drainer issues the blocking demand immediately.
+
         Returns ``(state, None, "")`` on the warmup iteration; the epoch loop
         flushes the tail via ``finish_epoch``."""
-        import time
+        from concurrent.futures import ThreadPoolExecutor
 
         variables = {"params": state.params}
         if state.batch_stats:
@@ -302,15 +310,25 @@ class _SCSTBase(TaskModel):
         enc_inputs = self.encoder_inputs(batch)
         rng = self._fold_rng(trainor, state)
         greedy_dev, sampled_dev = self._rollout_fn(variables, enc_inputs, rng)
+        if self._drain_pool is None:
+            self._drain_pool = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="scst-drain"
+            )
+        fut = self._drain_pool.submit(
+            lambda g=greedy_dev, s=sampled_dev: (np.asarray(g), np.asarray(s))
+        )
 
-        prev, self._pending = self._pending, (batch, enc_inputs, greedy_dev,
-                                              sampled_dev)
+        prev, self._pending = self._pending, (batch, enc_inputs, fut, sampled_dev)
         if prev is None:
             return state, None, ""
-        p_batch, p_enc, p_greedy, p_sampled = prev
+        return self._consume_pending(prev, state, lr)
+
+    def _consume_pending(self, pending, state, lr):
+        import time
+
+        p_batch, p_enc, fut, p_sampled = pending
         t0 = time.perf_counter()
-        greedy_np = np.asarray(p_greedy)  # already computed during last iter
-        sampled_np = np.asarray(p_sampled)
+        greedy_np, sampled_np = fut.result()
         self.timing["rollout_s"] += time.perf_counter() - t0
         return self._score_and_grad(
             state, p_batch, p_enc, greedy_np, sampled_np, p_sampled, lr
@@ -321,17 +339,8 @@ class _SCSTBase(TaskModel):
         Returns ``(state, device_loss, custom)`` or None when nothing pends."""
         if self._pending is None:
             return None
-        import time
-
-        p_batch, p_enc, p_greedy, p_sampled = self._pending
-        self._pending = None
-        t0 = time.perf_counter()
-        greedy_np = np.asarray(p_greedy)
-        sampled_np = np.asarray(p_sampled)
-        self.timing["rollout_s"] += time.perf_counter() - t0
-        return self._score_and_grad(
-            state, p_batch, p_enc, greedy_np, sampled_np, p_sampled, lr
-        )
+        prev, self._pending = self._pending, None
+        return self._consume_pending(prev, state, lr)
 
     def __repr__(self):
         return f"model: {type(self).__name__}\n{self.scst}"

@@ -59,8 +59,15 @@ def get_lib() -> Optional[ctypes.CDLL]:
                 ctypes.c_int,
                 ctypes.POINTER(ctypes.c_double),
             ]
+            lib.rouge_l_batch.restype = None
+            lib.rouge_l_batch.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p),
+                ctypes.POINTER(ctypes.c_char_p),
+                ctypes.c_int,
+                ctypes.POINTER(ctypes.c_double),
+            ]
             _lib = lib
-        except OSError:
+        except (OSError, AttributeError):
             _lib = None
         return _lib
 
@@ -78,3 +85,25 @@ def bleu_native(
     per = (ctypes.c_double * count)()
     corpus = lib.bleu_score(refs_arr, hyps_arr, count, n, per)
     return float(corpus), [float(x) for x in per]
+
+
+def rouge_l_native(
+    ref_tokens: List[List[str]], hyp_tokens: List[List[str]]
+) -> Optional[List[float]]:
+    """Per-pair ROUGE-L F1 via the C++ LCS core over PRE-TOKENIZED (already
+    rouge_score-tokenized + stemmed) token lists; None if unavailable.
+    Replaces the pure-Python O(m*n) DP that dominates the SCST reward phase
+    (measured 177.7 ms/iter of a 309 ms SCST iteration, BENCH r4)."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "rouge_l_batch"):
+        return None
+    count = len(ref_tokens)
+    refs_arr = (ctypes.c_char_p * count)(
+        *[" ".join(t).encode("utf-8") for t in ref_tokens]
+    )
+    hyps_arr = (ctypes.c_char_p * count)(
+        *[" ".join(t).encode("utf-8") for t in hyp_tokens]
+    )
+    f1 = (ctypes.c_double * count)()
+    lib.rouge_l_batch(refs_arr, hyps_arr, count, f1)
+    return [float(x) for x in f1]
