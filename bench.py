@@ -486,10 +486,14 @@ def main():
             {"params": key}, im0, ids, jnp.ones_like(ids), train=False
         )
     )
-    # batch 64: ViT-base activations at batch 128 exceed single-chip HBM
-    # (measured OOM on v5e; 64 also beats 96 — 561 vs 530 samples/s)
+    # batch 128 + donated carried state: donation halves params+opt HBM
+    # residency, which un-OOMs batch 128 — the throughput peak (586 vs 577
+    # samples/s at 64; 192 regresses to 502 — experiments/ab_vit_mfu.py).
+    # remat was a measured NET LOSS here (586 -> 496): the fc1 recompute
+    # costs more than the residual writes it saves (docs/performance.md).
     vit_samples_per_sec, vit_mfu, _, _ = bench_train(
-        vit_module, vit_init(jax.random.key(0)), batch=min(TRAIN_BATCH, 64)
+        vit_module, vit_init(jax.random.key(0)), batch=min(TRAIN_BATCH, 128),
+        donate=True,
     )
     _mark(f"vit train done {vit_samples_per_sec} samples/s mfu={vit_mfu}")
     del vit_module
@@ -541,13 +545,17 @@ def main():
     )
 
 
-def bench_train(module, variables, batch=None):
+def bench_train(module, variables, batch=None, donate=False):
     """Train-step throughput (samples/s/chip) + MFU on the same flagship RRG.
 
     Full production step: loss + grads + adamw update + BN stats, batch 128
     (the reference RRG recipe's batch, config/RRG/biomed-roberta-baseline-mimic.yml),
     bf16 compute. MFU uses XLA's own compiled flops estimate against the chip's
     peak bf16 throughput.
+
+    donate=True donates params/opt_state (halves their HBM residency —
+    unlocked ViT batch 128, experiments/ab_vit_mfu.py) but DELETES the passed
+    ``variables["params"]`` buffers: only for call sites that never reuse them.
     """
     import optax
 
@@ -575,14 +583,15 @@ def bench_train(module, variables, batch=None):
         )
         return out["loss"], updated.get("batch_stats", {})
 
-    @jax.jit
-    def train_step(params, batch_stats, opt_state, images, ids, mask, key):
+    def _step(params, batch_stats, opt_state, images, ids, mask, key):
         (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, batch_stats, images, ids, mask, key
         )
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, new_stats, opt_state, loss
+
+    train_step = jax.jit(_step, donate_argnums=(0, 1, 2) if donate else ())
 
     args = (params, batch_stats, opt_state, images, ids, mask, jax.random.key(0))
     flops = None

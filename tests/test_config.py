@@ -82,3 +82,25 @@ def test_executor_config_inherits_top_level():
     assert tr.dataset.proto == "ImSeq"
     assert tr.ckpt_dir == "ckpt"
     assert "validator" not in tr
+
+
+def test_set_logger_rebinds_file_handler_on_new_ckpt_dir(tmp_path):
+    """A second run in one process with the SAME seed but a NEW ckpt_dir must
+    log (and dump metric refs/hyps via get_logger_directory) into the new
+    directory — the per-seed logger used to pin the first run's FileHandler
+    forever, sending later runs' dumps to the wrong tree."""
+    from vilmedic_tpu.utils.logger import get_logger_directory, set_logger
+
+    d1, d2 = tmp_path / "run1", tmp_path / "run2"
+    lg = set_logger(str(d1), 999001)
+    assert get_logger_directory(lg) == str(d1)
+    # same dir: idempotent, no handler churn
+    n = len(lg.handlers)
+    assert set_logger(str(d1), 999001) is lg and len(lg.handlers) == n
+    # new dir: file handler rebinds, console handler survives
+    lg2 = set_logger(str(d2), 999001)
+    assert lg2 is lg
+    assert get_logger_directory(lg2) == str(d2)
+    assert len(lg2.handlers) == n
+    lg2.info("lands in run2")
+    assert (d2 / "999001.log").exists()

@@ -50,6 +50,12 @@ class ViT(nn.Module):
     layer_norm_eps: float = 1e-12
     #: pre-LN layers (HF ViT residual structure); default post-LN (BERT-style)
     pre_ln: bool = False
+    #: remat each layer (jax.checkpoint). Measured on v5e (batch 64 train):
+    #: the un-remat fc1 fusions write TWO (B, 197, 3072) bf16 residual
+    #: tensors per layer for the backward (~155 MB/layer) and run at ~44%
+    #: MXU; remat trades that HBM traffic for recompute and frees the
+    #: activation memory that caps the batch size (docs/performance.md).
+    gradient_checkpointing: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -90,11 +96,17 @@ class ViT(nn.Module):
         )
         x = x + pos.astype(self.dtype)
         x = nn.Dropout(self.hidden_dropout_prob)(x, deterministic=not train)
+        layer_cls = ViTLayer if self.pre_ln else EncoderLayer
+        if self.gradient_checkpointing:
+            if self.pre_ln:
+                layer_cls = nn.remat(ViTLayer, static_argnums=(2,))
+            else:
+                layer_cls = nn.remat(EncoderLayer, static_argnums=(3,))
         for i in range(self.num_hidden_layers):
             if self.pre_ln:
-                x = ViTLayer(cfg, name=f"layer_{i}")(x, deterministic=not train)
+                x = layer_cls(cfg, name=f"layer_{i}")(x, not train)
             else:
-                x = EncoderLayer(cfg, name=f"layer_{i}")(x, deterministic=not train)
+                x = layer_cls(cfg, name=f"layer_{i}")(x, None, not train)
         x = nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype, name="ln_final")(x)
         return x
 
@@ -103,5 +115,6 @@ def make_vit(backbone: str, output_layer=None, dtype=jnp.float32, **kwargs) -> V
     known = {
         "hidden_size", "num_hidden_layers", "num_attention_heads", "intermediate_size",
         "patch_size", "image_size", "hidden_dropout_prob", "layer_norm_eps", "pre_ln",
+        "gradient_checkpointing",
     }
     return ViT(dtype=dtype, **{k: v for k, v in kwargs.items() if k in known})

@@ -84,13 +84,28 @@ def set_logger(ckpt_dir: Optional[str], seed) -> logging.Logger:
     logger = logging.getLogger(str(seed))
     logger.setLevel(logging.DEBUG)
     logger.propagate = False
-    if logger.handlers:  # idempotent across repeated calls in tests
-        return logger
-
-    console = logging.StreamHandler()
-    console.setLevel(logging.DEBUG)
-    console.setFormatter(ColorFormatter())
-    logger.addHandler(console)
+    if logger.handlers:  # idempotent across repeated calls within one run…
+        # …but a SECOND run in the same process with the same seed and a NEW
+        # ckpt_dir must not keep logging (and dumping metric refs/hyps, which
+        # land in get_logger_directory) into the previous run's directory —
+        # rebind the file handler to the new directory.
+        if ckpt_dir is not None:
+            for handler in list(logger.handlers):
+                if isinstance(handler, logging.FileHandler) and (
+                    os.path.dirname(handler.baseFilename)
+                    != os.path.abspath(ckpt_dir)
+                ):
+                    logger.removeHandler(handler)
+                    handler.close()
+        if any(isinstance(h, logging.FileHandler) for h in logger.handlers) or (
+            ckpt_dir is None
+        ):
+            return logger
+    else:
+        console = logging.StreamHandler()
+        console.setLevel(logging.DEBUG)
+        console.setFormatter(ColorFormatter())
+        logger.addHandler(console)
 
     if ckpt_dir is not None:
         os.makedirs(ckpt_dir, exist_ok=True)
