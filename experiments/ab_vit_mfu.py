@@ -53,12 +53,19 @@ def build(remat: bool):
     return RRGModule(enc=enc, dec_config=cfg)
 
 
-def measure(module, variables, batch, donate):
+def measure(module, variables, batch, donate, rng_impl="threefry2x32",
+            flatten_opt=False):
+    # optax.flatten: one fused update over a single concatenated vector
+    # instead of ~150 per-leaf kernels (adamw_only measured 26 ms isolated —
+    # experiments/profile_vit_train.py — suspected per-fusion launch overhead)
     tx = optax.adamw(1e-4)
+    if flatten_opt:
+        tx = optax.flatten(tx)
     # deep-copy: donation deletes the donated buffers, and `variables` is
     # shared across the batch sweep (first run poisoned every later point)
     params = jax.tree.map(jnp.array, variables["params"])
     opt_state = tx.init(params)
+    mk_key = lambda i: jax.random.key(i, impl=rng_impl)
 
     def loss_fn(params, images, ids, mask, key):
         out = module.apply({"params": params}, images, ids, mask, train=True,
@@ -81,7 +88,7 @@ def measure(module, variables, batch, donate):
     mask = jnp.ones((batch, bench.TRAIN_LEN), jnp.int32)
     np.asarray(images[0, 0, 0])
 
-    args = (params, opt_state, images, ids, mask, jax.random.key(0))
+    args = (params, opt_state, images, ids, mask, mk_key(0))
     flops = None
     try:
         cost = train_step.lower(*args).compile().cost_analysis()
@@ -96,7 +103,7 @@ def measure(module, variables, batch, donate):
     t0 = time.perf_counter()
     for i in range(N):
         params, opt_state, loss = train_step(params, opt_state, images, ids,
-                                             mask, jax.random.key(i))
+                                             mask, mk_key(i))
     _ = float(loss)
     dt = (time.perf_counter() - t0) / N
     peak = bench._peak_flops()
@@ -105,24 +112,38 @@ def measure(module, variables, batch, donate):
 
 def main():
     print(f"devices: {jax.devices()}", flush=True)
-    # (remat, donate) grid: donate=False remat=False at batch 64 is the tie
-    # point to BENCH_r03's vit_train_mfu 0.4021 measurement
-    for remat, donate in ((False, False), (False, True), (True, True)):
+    # Measured 2026-08-19 (v5e, this file, threefry, donate=True):
+    #   remat=False: 64 -> 577.1/0.4015(donate=False) 569.3, 128 -> 586.0/0.4079,
+    #                192 -> 501.8
+    #   remat=True:  64 -> 486.8, 128 -> 495.9, 192 -> 455.4 (NET LOSS)
+    # Remaining grid: "dots" policy remat (save matmuls, recompute elementwise)
+    # and the rbg dropout PRNG (threefry measured ~5.5 ms of the batch-64
+    # forward alone, experiments/microbench_vit_parts.py), around the peak.
+    GRID = (
+        # (remat, donate, rng_impl, flatten_opt, batches)
+        ("dots", True, "threefry2x32", False, (128, 192)),
+        ("dots", True, "rbg", False, (128,)),
+        (False, True, "rbg", False, (128,)),
+        (False, True, "threefry2x32", True, (128,)),
+        ("dots", True, "rbg", True, (128,)),
+    )
+    for remat, donate, rng_impl, flatten_opt, batches in GRID:
         module = build(remat)
         im0 = jnp.zeros((2, bench.IMAGE, bench.IMAGE, 3), jnp.float32)
         ids0 = jnp.zeros((2, 8), jnp.int32)
         variables = jax.jit(lambda key: module.init(
             {"params": key}, im0, ids0, jnp.ones_like(ids0), train=False
         ))(jax.random.key(0))
-        batches = BATCHES if donate else BATCHES[:1]
         for batch in batches:
+            tag = (f"remat={remat} donate={donate} rng={rng_impl} "
+                   f"flat={flatten_opt} batch={batch}")
             try:
-                sps, mfu = measure(module, variables, batch, donate=donate)
-                print(f"remat={remat} donate={donate} batch={batch}: "
-                      f"{sps} samples/s  mfu={mfu}", flush=True)
+                sps, mfu = measure(module, variables, batch, donate=donate,
+                                   rng_impl=rng_impl, flatten_opt=flatten_opt)
+                print(f"{tag}: {sps} samples/s  mfu={mfu}", flush=True)
             except Exception as e:  # OOM points are data too
-                print(f"remat={remat} donate={donate} batch={batch}: FAILED "
-                      f"{type(e).__name__}: {str(e)[:160]}", flush=True)
+                print(f"{tag}: FAILED {type(e).__name__}: {str(e)[:160]}",
+                      flush=True)
 
 
 if __name__ == "__main__":

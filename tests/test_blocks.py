@@ -173,16 +173,17 @@ def test_visual_encoder_3d_volume():
 
 @pytest.mark.parametrize("pre_ln", [False, True])
 def test_vit_gradient_checkpointing_parity(pre_ln):
-    """ViT(gradient_checkpointing=True) remats each encoder layer: forward and
-    gradients match the un-remat'd tower (both LN layouts take distinct remat
-    wrappers — static-arg positions differ)."""
+    """ViT(gradient_checkpointing=True|"dots") remats each encoder layer:
+    forward and gradients match the un-remat'd tower (both LN layouts take
+    distinct remat wrappers — static-arg positions differ; "dots" saves
+    matmul outputs and recomputes only the elementwise chain)."""
     from vilmedic_tpu.blocks.vision.vit import ViT
 
     rng = np.random.default_rng(11)
     imgs = jnp.asarray(rng.normal(size=(2, 32, 32, 3)), jnp.float32)
 
     outs, grads = [], []
-    for gc in (False, True):
+    for gc in (False, True, "dots"):
         vit = ViT(hidden_size=32, num_hidden_layers=2, num_attention_heads=4,
                   intermediate_size=64, image_size=32, patch_size=16,
                   hidden_dropout_prob=0.0, pre_ln=pre_ln,
@@ -198,7 +199,8 @@ def test_vit_gradient_checkpointing_parity(pre_ln):
         outs.append(np.asarray(out))
         grads.append(g)
 
-    np.testing.assert_allclose(outs[0], outs[1], rtol=1e-6, atol=1e-6)
-    for a, b in zip(jax.tree.leaves(grads[0]), jax.tree.leaves(grads[1])):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=2e-5, atol=1e-6)
+    for alt in (1, 2):
+        np.testing.assert_allclose(outs[0], outs[alt], rtol=1e-6, atol=1e-6)
+        for a, b in zip(jax.tree.leaves(grads[0]), jax.tree.leaves(grads[alt])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-5, atol=1e-6)

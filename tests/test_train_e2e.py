@@ -331,3 +331,22 @@ def test_single_batch_epoch_logs_finite_loss(tmp_path, workdir):
     logs = " ".join(records)
     assert "Loss nan" not in logs
     assert "Loss " in logs
+
+
+def test_rng_impl_rbg_trains(tmp_path, workdir):
+    """rng_impl: rbg swaps the dropout-mask PRNG to the TPU-native RBG
+    generator (docs/performance.md): the train loop must run and log a
+    finite loss with typed rbg keys threaded through fold_in/dropout."""
+    import jax
+
+    ckpt_dir = tmp_path / "ckpt_rbg"
+    ckpt_dir.mkdir()
+    config = _config(workdir, ckpt_dir)
+    config["rng_impl"] = "rbg"
+    config["epochs"] = 1
+    config["eval_start"] = 99
+    set_logger(str(ckpt_dir), 12)
+    trainor = Trainor(config=config, seed=12)
+    assert "rbg" in str(jax.random.key_impl(trainor.rng))
+    trainor.start()
+    assert trainor.epoch_losses and np.isfinite(trainor.epoch_losses).all()

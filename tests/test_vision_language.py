@@ -394,7 +394,7 @@ def test_gradient_checkpointing_vl_forward():
     mask = jnp.ones((b, t), jnp.int32)
 
     losses, grads = [], []
-    for gc in (False, True):
+    for gc in (False, True, "dots"):
         cfg = TransformerConfig(
             vocab_size=40, hidden_size=32, num_hidden_layers=2,
             num_attention_heads=4, intermediate_size=64,
@@ -415,6 +415,9 @@ def test_gradient_checkpointing_vl_forward():
         losses.append(float(l))
         grads.append(g)
 
-    np.testing.assert_allclose(losses[0], losses[1], rtol=1e-5)
-    for a, b_ in zip(jax.tree.leaves(grads[0]), jax.tree.leaves(grads[1])):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=2e-4, atol=2e-5)
+    for alt in (1, 2):
+        np.testing.assert_allclose(losses[0], losses[alt], rtol=1e-5)
+        for a, b_ in zip(jax.tree.leaves(grads[0]), jax.tree.leaves(grads[alt])):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), rtol=2e-4, atol=2e-5
+            )

@@ -48,7 +48,11 @@ class TransformerConfig:
     hidden_act: str = "gelu"
     initializer_range: float = 0.02
     add_cross_attention: bool = False
-    gradient_checkpointing: bool = False  # remat each layer (HF config key)
+    # remat each layer (HF config key). True = full remat (max memory saving,
+    # recomputes the matmuls); "dots" = policy remat (saves matmul outputs,
+    # recomputes only the elementwise chain — the throughput-safe variant,
+    # measured in experiments/ab_vit_mfu.py / docs/performance.md)
+    gradient_checkpointing: Any = False
     # BERT/RoBERTa prediction heads run dense+act+LayerNorm before the vocab
     # projection (HF BertLMPredictionHead / RobertaLMHead); BertGeneration's
     # head is a bare Linear. Needed for pretrained-weight parity.
@@ -144,6 +148,16 @@ def quantize_kv(x):
     scale = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1) / 127.0, 1e-8)
     q = jnp.clip(jnp.round(xf / scale[..., None]), -127, 127).astype(jnp.int8)
     return q, scale
+
+
+def _remat_policy(gradient_checkpointing):
+    """jax.checkpoint policy for a truthy gradient_checkpointing value:
+    "dots" saves matmul outputs and recomputes only the elementwise chain
+    (LN/GELU/softmax/dropout masks); True (or anything else truthy) is the
+    HF-style full remat — everything recomputed, maximum memory saving."""
+    if gradient_checkpointing == "dots":
+        return jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+    return None
 
 
 def _dense(cfg: TransformerConfig, features: int, name: str) -> nn.Dense:
@@ -579,9 +593,12 @@ class TransformerEncoder(nn.Module):
         cfg = self.config
         self.embeddings = Embeddings(cfg, name="embeddings")
         # remat trades recompute for activation memory (jax.checkpoint — the
-        # TPU-native realization of the HF gradient_checkpointing flag)
+        # TPU-native realization of the HF gradient_checkpointing flag);
+        # "dots" keeps matmul outputs and recomputes only the elementwise
+        # chain (see ViT.gradient_checkpointing for the measured tradeoff)
         layer_cls = (
-            nn.remat(EncoderLayer, static_argnums=(3,))
+            nn.remat(EncoderLayer, static_argnums=(3,),
+                     policy=_remat_policy(cfg.gradient_checkpointing))
             if cfg.gradient_checkpointing else EncoderLayer
         )
         self.layers = [
@@ -614,7 +631,8 @@ class TransformerDecoder(nn.Module):
         cfg = self.config
         self.embeddings = Embeddings(cfg, name="embeddings")
         layer_cls = (
-            nn.remat(DecoderLayer, static_argnums=(5,))
+            nn.remat(DecoderLayer, static_argnums=(5,),
+                     policy=_remat_policy(cfg.gradient_checkpointing))
             if cfg.gradient_checkpointing else DecoderLayer
         )
         self.layers = [

@@ -53,9 +53,14 @@ class ViT(nn.Module):
     #: remat each layer (jax.checkpoint). Measured on v5e (batch 64 train):
     #: the un-remat fc1 fusions write TWO (B, 197, 3072) bf16 residual
     #: tensors per layer for the backward (~155 MB/layer) and run at ~44%
-    #: MXU; remat trades that HBM traffic for recompute and frees the
-    #: activation memory that caps the batch size (docs/performance.md).
-    gradient_checkpointing: bool = False
+    #: MXU. Full remat (True) recomputes the MATMULS too and measured a NET
+    #: LOSS at bench shapes (586 -> 496 samples/s, experiments/ab_vit_mfu.py)
+    #: — its value is purely activation memory. "dots" remats with
+    #: jax.checkpoint_policies.dots_with_no_batch_dims_saveable: matmul
+    #: outputs are SAVED, only the elementwise chain (LN/GELU/softmax/dropout
+    #: masks) is recomputed — the residual-write savings without the matmul
+    #: recompute (docs/performance.md).
+    gradient_checkpointing: Any = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -98,10 +103,13 @@ class ViT(nn.Module):
         x = nn.Dropout(self.hidden_dropout_prob)(x, deterministic=not train)
         layer_cls = ViTLayer if self.pre_ln else EncoderLayer
         if self.gradient_checkpointing:
+            from ..transformer import _remat_policy
+
+            policy = _remat_policy(self.gradient_checkpointing)
             if self.pre_ln:
-                layer_cls = nn.remat(ViTLayer, static_argnums=(2,))
+                layer_cls = nn.remat(ViTLayer, static_argnums=(2,), policy=policy)
             else:
-                layer_cls = nn.remat(EncoderLayer, static_argnums=(3,))
+                layer_cls = nn.remat(EncoderLayer, static_argnums=(3,), policy=policy)
         for i in range(self.num_hidden_layers):
             if self.pre_ln:
                 x = layer_cls(cfg, name=f"layer_{i}")(x, not train)

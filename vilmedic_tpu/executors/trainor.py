@@ -141,7 +141,13 @@ class Trainor:
             ),
             self.mesh,
         )
-        self.rng = jax.random.key(seed)
+        # Dropout-mask PRNG implementation. Default threefry2x32 (jax's
+        # reproducible-everywhere default); "rbg" uses the TPU-native RBG
+        # generator — same API, deterministic per key, measurably cheaper for
+        # the per-step mask generation (threefry was ~5 ms of a batch-64
+        # ViT-base forward on v5e, experiments/microbench_vit_parts.py).
+        # Masks differ from threefry's, so fix one impl per training run.
+        self.rng = jax.random.key(seed, impl=config.get("rng_impl") or "threefry2x32")
         self._build_steps()
 
         self.evaluator = None  # set by bin/train
