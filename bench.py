@@ -102,7 +102,10 @@ def build_vit_model():
         permute="no_permute",
         projection_dim=768,
         dtype=jnp.bfloat16,
-        backbone_kwargs={"pre_ln": True},
+        # gelu_tanh: the exact-erf GELU over (B, 197, 3072) x 12 layers is
+        # the priciest VPU transcendental in the tower — tanh approx measured
+        # 628.7 vs 592.2 samples/s at batch 128 (experiments/ab_vit_mfu.py)
+        backbone_kwargs={"pre_ln": True, "hidden_act": "gelu_tanh"},
     )
     cfg = TransformerConfig(
         vocab_size=VOCAB,
@@ -316,12 +319,20 @@ def bench_vl_train(module, variables, vl_image):
     mask = jnp.ones((tb, TRAIN_LEN), jnp.int32)
     np.asarray(images[0, 0, 0])
 
-    tx = optax.adamw(1e-4)
+    # production semantics: the frozen tower is EXCLUDED from the optimizer
+    # (TaskModel.frozen_prefixes -> optax.multi_transform): no adam m/v slots
+    # for ~86M tower params (~690 MB HBM at DINOv2-base) and no zero-grad
+    # update traffic
+    from vilmedic_tpu.executors.train_state import _freeze_labels
+
+    tx = optax.multi_transform(
+        {"trainable": optax.adamw(1e-4), "frozen": optax.set_to_zero()},
+        _freeze_labels(("vision",)),
+    )
     params = variables["params"]
     opt_state = jax.jit(tx.init)(params)
 
-    @jax.jit
-    def train_step(params, opt_state, images, ids, mask, key):
+    def _step(params, opt_state, images, ids, mask, key):
         def loss_fn(p):
             out = module.apply(
                 {"params": p}, images, ids, mask, train=True,
@@ -332,6 +343,12 @@ def bench_vl_train(module, variables, vl_image):
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state2 = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state2, loss
+
+    # donate the carried state: halves params+opt HBM residency (the lever
+    # that un-OOMed ViT batch 128 — experiments/ab_vit_mfu.py). VL train is
+    # the LAST consumer of `variables` in both call paths, so deleting the
+    # donated buffers is safe.
+    train_step = jax.jit(_step, donate_argnums=(0, 1))
 
     args = (params, opt_state, images, ids, mask, jax.random.key(0))
     flops = None
@@ -493,7 +510,7 @@ def main():
     # costs more than the residual writes it saves (docs/performance.md).
     vit_samples_per_sec, vit_mfu, _, _ = bench_train(
         vit_module, vit_init(jax.random.key(0)), batch=min(TRAIN_BATCH, 128),
-        donate=True,
+        donate=True, rng_impl="rbg",
     )
     _mark(f"vit train done {vit_samples_per_sec} samples/s mfu={vit_mfu}")
     del vit_module
@@ -545,7 +562,8 @@ def main():
     )
 
 
-def bench_train(module, variables, batch=None, donate=False):
+def bench_train(module, variables, batch=None, donate=False,
+                rng_impl="threefry2x32"):
     """Train-step throughput (samples/s/chip) + MFU on the same flagship RRG.
 
     Full production step: loss + grads + adamw update + BN stats, batch 128
@@ -556,6 +574,8 @@ def bench_train(module, variables, batch=None, donate=False):
     donate=True donates params/opt_state (halves their HBM residency —
     unlocked ViT batch 128, experiments/ab_vit_mfu.py) but DELETES the passed
     ``variables["params"]`` buffers: only for call sites that never reuse them.
+    rng_impl="rbg" generates the dropout masks with the TPU-native RBG PRNG
+    (the Trainor's rng_impl config knob; +1% at ViT bench shapes).
     """
     import optax
 
@@ -593,7 +613,8 @@ def bench_train(module, variables, batch=None, donate=False):
 
     train_step = jax.jit(_step, donate_argnums=(0, 1, 2) if donate else ())
 
-    args = (params, batch_stats, opt_state, images, ids, mask, jax.random.key(0))
+    mk_key = lambda i: jax.random.key(i, impl=rng_impl)
+    args = (params, batch_stats, opt_state, images, ids, mask, mk_key(0))
     flops = None
     try:
         cost = train_step.lower(*args).compile().cost_analysis()
@@ -613,7 +634,7 @@ def bench_train(module, variables, batch=None, donate=False):
     t0 = time.perf_counter()
     for i in range(N):
         params, batch_stats, opt_state, loss = train_step(
-            params, batch_stats, opt_state, images, ids, mask, jax.random.key(i)
+            params, batch_stats, opt_state, images, ids, mask, mk_key(i)
         )
     _ = float(loss)
     dt = (time.perf_counter() - t0) / N

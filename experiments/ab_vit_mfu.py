@@ -34,7 +34,7 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_vilmedic_tpu")
 BATCHES = [int(b) for b in os.environ.get("AB_BATCHES", "64,128,192").split(",")]
 
 
-def build(remat: bool):
+def build(remat: bool, act: str = "gelu"):
     from vilmedic_tpu.blocks.transformer import TransformerConfig
     from vilmedic_tpu.blocks.vision.visual_encoder import VisualEncoder
     from vilmedic_tpu.models.rrg import RRGModule
@@ -42,7 +42,8 @@ def build(remat: bool):
     enc = VisualEncoder(
         backbone="vit", output_layer=None, permute="no_permute",
         projection_dim=768, dtype=jnp.bfloat16,
-        backbone_kwargs={"pre_ln": True, "gradient_checkpointing": remat},
+        backbone_kwargs={"pre_ln": True, "gradient_checkpointing": remat,
+                         "hidden_act": act},
     )
     cfg = TransformerConfig(
         vocab_size=bench.VOCAB, hidden_size=768, num_hidden_layers=1,
@@ -119,16 +120,18 @@ def main():
     # Remaining grid: "dots" policy remat (save matmuls, recompute elementwise)
     # and the rbg dropout PRNG (threefry measured ~5.5 ms of the batch-64
     # forward alone, experiments/microbench_vit_parts.py), around the peak.
+    # Measured 2026-08-19 (v5e, batch 128, donate=True): dots remat 484.3
+    # (LOSS vs 586 no-remat), dots@192 474.4, rbg 592.2/0.4144 (best),
+    # optax.flatten 535.9 (LOSS), dots+rbg+flat 451.9. Remaining lever:
+    # tanh-approx GELU (the exact erf over (B,197,3072) x 12 layers is the
+    # priciest VPU transcendental in the tower).
     GRID = (
-        # (remat, donate, rng_impl, flatten_opt, batches)
-        ("dots", True, "threefry2x32", False, (128, 192)),
-        ("dots", True, "rbg", False, (128,)),
-        (False, True, "rbg", False, (128,)),
-        (False, True, "threefry2x32", True, (128,)),
-        ("dots", True, "rbg", True, (128,)),
+        # (remat, donate, rng_impl, flatten_opt, act, batches)
+        (False, True, "rbg", False, "gelu_tanh", (128,)),
+        (False, True, "threefry2x32", False, "gelu_tanh", (128,)),
     )
-    for remat, donate, rng_impl, flatten_opt, batches in GRID:
-        module = build(remat)
+    for remat, donate, rng_impl, flatten_opt, act, batches in GRID:
+        module = build(remat, act)
         im0 = jnp.zeros((2, bench.IMAGE, bench.IMAGE, 3), jnp.float32)
         ids0 = jnp.zeros((2, 8), jnp.int32)
         variables = jax.jit(lambda key: module.init(
@@ -136,7 +139,7 @@ def main():
         ))(jax.random.key(0))
         for batch in batches:
             tag = (f"remat={remat} donate={donate} rng={rng_impl} "
-                   f"flat={flatten_opt} batch={batch}")
+                   f"flat={flatten_opt} act={act} batch={batch}")
             try:
                 sps, mfu = measure(module, variables, batch, donate=donate,
                                    rng_impl=rng_impl, flatten_opt=flatten_opt)

@@ -204,3 +204,28 @@ def test_vit_gradient_checkpointing_parity(pre_ln):
         for a, b in zip(jax.tree.leaves(grads[0]), jax.tree.leaves(grads[alt])):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=2e-5, atol=1e-6)
+
+
+def test_gelu_tanh_activation_close_to_exact():
+    """hidden_act="gelu_tanh" (tanh approx — the VPU-cheap variant) stays
+    within 1e-3 of the exact-erf FFN output and trains (finite grads)."""
+    outs = []
+    for act in ("gelu", "gelu_tanh"):
+        cfg = TransformerConfig(
+            vocab_size=50, hidden_size=32, num_hidden_layers=1,
+            num_attention_heads=4, intermediate_size=64,
+            max_position_embeddings=32, hidden_dropout_prob=0.0,
+            hidden_act=act,
+        )
+        from vilmedic_tpu.blocks.transformer import FeedForward
+
+        ffn = FeedForward(cfg)
+        x = jnp.asarray(np.random.default_rng(3).normal(size=(2, 5, 32)),
+                        jnp.float32)
+        variables = ffn.init(jax.random.key(0), x)
+        outs.append(np.asarray(ffn.apply(variables, x)))
+        g = jax.grad(lambda p: jnp.sum(ffn.apply({"params": p}, x) ** 2))(
+            variables["params"]
+        )
+        assert all(np.isfinite(np.asarray(v)).all() for v in jax.tree.leaves(g))
+    assert np.max(np.abs(outs[0] - outs[1])) < 1e-3

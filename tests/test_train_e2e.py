@@ -350,3 +350,44 @@ def test_rng_impl_rbg_trains(tmp_path, workdir):
     assert "rbg" in str(jax.random.key_impl(trainor.rng))
     trainor.start()
     assert trainor.epoch_losses and np.isfinite(trainor.epoch_losses).all()
+
+
+def test_frozen_prefixes_optimizer_masking():
+    """TaskModel.frozen_prefixes -> optax.multi_transform: frozen subtrees get
+    exactly-zero updates AND no adam m/v slots (torch only steps requires_grad
+    params; a frozen DINOv2 tower's moments would be ~690 MB). The path-prefix
+    semantics keep siblings (visual_projection) trainable, and gated_update /
+    set_learning_rate still work through the masked state."""
+    import jax
+    import jax.numpy as jnp
+
+    from vilmedic_tpu.executors.train_state import (
+        create_optimizer, gated_update,
+    )
+
+    params = {
+        "enc": {"model": {"w": jnp.ones((4,))},
+                "visual_projection": {"k": jnp.ones((3,))}},
+        "dec": {"w": jnp.ones((2,))},
+    }
+    tx = create_optimizer("AdamW", {"lr": 1e-2}, None,
+                          frozen_prefixes=("enc/model",))
+    st = tx.init(params)
+    grads = jax.tree.map(jnp.ones_like, params)
+    upd, _ = tx.update(grads, st, params)
+    assert np.all(np.asarray(upd["enc"]["model"]["w"]) == 0)
+    assert np.any(np.asarray(upd["enc"]["visual_projection"]["k"]) != 0)
+    assert np.any(np.asarray(upd["dec"]["w"]) != 0)
+    # no moment buffers allocated for the frozen (4,) leaf
+    assert not any(
+        getattr(x, "shape", None) == (4,) for x in jax.tree.leaves(st)
+    )
+
+    # finite gate: frozen stays put, trainable moves
+    p2, _ = gated_update(tx, params, st, grads, 1e-2, jnp.float32(1.0))
+    assert np.all(np.asarray(p2["enc"]["model"]["w"]) == 1.0)
+    assert np.any(np.asarray(p2["dec"]["w"]) != 1.0)
+    # non-finite gate: nothing moves
+    p3, _ = gated_update(tx, params, st, grads, 1e-2, jnp.float32(np.nan))
+    for a, b in zip(jax.tree.leaves(p3), jax.tree.leaves(params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -240,13 +240,24 @@ def test_vision_language_end_to_end(tmp_path, dims):
     evaluator = Validator(config=config, models=[trainor.model],
                           train_dl=trainor.dl, seed=seed, from_training=True)
     trainor.evaluator = evaluator
+    before_patch = np.asarray(
+        trainor.model.variables["params"]["vision"]["model"]["patch_embed"]["kernel"]
+    ).copy()
+    # frozen_prefixes -> no adam moment slots for the tower at all
+    import jax.tree_util as jtu
+
+    opt_paths = [jtu.keystr(p) for p, _ in
+                 jtu.tree_flatten_with_path(trainor.state.opt_state)[0]]
+    assert not any("vision" in p for p in opt_paths), opt_paths[:5]
     trainor.start()
     assert "BLEU" in evaluator.scores[0]
-    # frozen backbone: vision params unchanged after training
-    init_patch = np.asarray(
+    # frozen backbone: vision params BIT-identical after training (the
+    # stop_gradient + masked-optimizer pair; reference requires_grad=False)
+    after_patch = np.asarray(
         trainor.model.variables["params"]["vision"]["model"]["patch_embed"]["kernel"]
     )
-    assert np.isfinite(init_patch).all()
+    np.testing.assert_array_equal(before_patch, after_patch)
+    assert np.isfinite(after_patch).all()
 
     # sharded (default on the 8-device CPU mesh) == unsharded generation
     from vilmedic_tpu.models.vision_language import vl_evaluation

@@ -494,7 +494,16 @@ class FeedForward(nn.Module):
     def __call__(self, x, deterministic=True):
         cfg = self.config
         h = _dense(cfg, cfg.intermediate_size, "fc1")(x)
-        h = nn.gelu(h, approximate=False) if cfg.hidden_act == "gelu" else nn.relu(h)
+        if cfg.hidden_act == "gelu":
+            # exact erf GELU (HF BERT/ViT parity)
+            h = nn.gelu(h, approximate=False)
+        elif cfg.hidden_act == "gelu_tanh":
+            # tanh-approx GELU (HF "gelu_new"/"gelu_pytorch_tanh"): |Δ| < 1e-3
+            # of exact, and markedly cheaper on the TPU VPU — erf is the
+            # priciest transcendental in the FFN at (B, T, 4H) scale
+            h = nn.gelu(h, approximate=True)
+        else:
+            h = nn.relu(h)
         h = _dense(cfg, cfg.hidden_size, "fc2")(h)
         return nn.Dropout(cfg.hidden_dropout_prob)(h, deterministic=deterministic)
 

@@ -48,6 +48,9 @@ class ViT(nn.Module):
     image_size: int = 224
     hidden_dropout_prob: float = 0.0
     layer_norm_eps: float = 1e-12
+    #: "gelu" (exact erf, HF-pretrained-weight parity) | "gelu_tanh"
+    #: (tanh approx, |Δ| < 1e-3, cheaper on the VPU — docs/performance.md)
+    hidden_act: str = "gelu"
     #: pre-LN layers (HF ViT residual structure); default post-LN (BERT-style)
     pre_ln: bool = False
     #: remat each layer (jax.checkpoint). Measured on v5e (batch 64 train):
@@ -73,6 +76,7 @@ class ViT(nn.Module):
             intermediate_size=self.intermediate_size,
             hidden_dropout_prob=self.hidden_dropout_prob,
             layer_norm_eps=self.layer_norm_eps,
+            hidden_act=self.hidden_act,
             dtype=self.dtype,
         )
         b = x.shape[0]
@@ -123,6 +127,6 @@ def make_vit(backbone: str, output_layer=None, dtype=jnp.float32, **kwargs) -> V
     known = {
         "hidden_size", "num_hidden_layers", "num_attention_heads", "intermediate_size",
         "patch_size", "image_size", "hidden_dropout_prob", "layer_norm_eps", "pre_ln",
-        "gradient_checkpointing",
+        "gradient_checkpointing", "hidden_act",
     }
     return ViT(dtype=dtype, **{k: v for k, v in kwargs.items() if k in known})

@@ -70,10 +70,34 @@ def _translate_params(name: str, params: Dict) -> Dict:
     return out
 
 
+def _freeze_labels(frozen_prefixes):
+    """Callable(params) -> {"trainable"|"frozen"} label tree for
+    optax.multi_transform. Prefixes are '/'-joined param paths
+    (e.g. "vision/model" = the frozen backbone inside a VisualEncoder,
+    whose visual_projection sibling stays trainable)."""
+    split = [tuple(str(p).split("/")) for p in frozen_prefixes]
+
+    def labels(params):
+        def lab(path, _):
+            keys = tuple(
+                getattr(k, "key", getattr(k, "name", None)) for k in path
+            )
+            return (
+                "frozen"
+                if any(keys[: len(s)] == s for s in split)
+                else "trainable"
+            )
+
+        return jax.tree_util.tree_map_with_path(lab, params)
+
+    return labels
+
+
 def create_optimizer(
     optimizer: str,
     optim_params: Dict,
     clip_grad_norm: Optional[float] = None,
+    frozen_prefixes=(),
 ) -> optax.GradientTransformation:
     name = optimizer.lower()
     if name not in _OPTIMIZERS:
@@ -96,7 +120,17 @@ def create_optimizer(
         if additive_wd:
             parts.append(optax.add_decayed_weights(additive_wd))
         parts.append(alias(learning_rate=learning_rate, **kwargs))
-        return optax.chain(*parts)
+        inner = optax.chain(*parts)
+        if frozen_prefixes:
+            # frozen subtrees (TaskModel.frozen_prefixes) are excluded from
+            # the optimizer — the TPU-native analog of torch stepping only
+            # requires_grad params: no m/v slots allocated for them, updates
+            # exactly zero, and clip_by_global_norm sees trainable grads only
+            return optax.multi_transform(
+                {"trainable": inner, "frozen": optax.set_to_zero()},
+                _freeze_labels(frozen_prefixes),
+            )
+        return inner
 
     return optax.inject_hyperparams(factory)(learning_rate=base_lr)
 

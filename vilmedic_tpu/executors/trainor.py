@@ -74,7 +74,8 @@ class Trainor:
             optim_params = optim_params.to_dict()
         self.base_lr = float(optim_params.get("lr"))
         self.tx = create_optimizer(
-            config.get("optimizer", "Adam"), optim_params, self.clip_grad_norm
+            config.get("optimizer", "Adam"), optim_params, self.clip_grad_norm,
+            frozen_prefixes=getattr(self.model, "frozen_prefixes", ()),
         )
 
         self.training_scheduler = create_training_scheduler(

@@ -98,6 +98,12 @@ class TaskModel:
     #: subtree name -> (pretrained hf name, "causal" | "encoder"); populated by
     #: constructors when a block's ``proto`` is a locally cached pretrained name
     _pretrained_blocks: Dict = {}
+    #: top-level param subtrees whose weights are frozen (stop_gradient'd in
+    #: the module). The Trainor excludes them from the optimizer via
+    #: optax.multi_transform — the TPU-native analog of torch skipping
+    #: requires_grad=False params: no m/v slots allocated (a DINOv2-base
+    #: tower's adam state is ~690 MB) and no zero-grad update traffic.
+    frozen_prefixes: tuple = ()
 
     def init_variables(self, rng, batch) -> Dict:
         raise NotImplementedError

@@ -64,6 +64,8 @@ class MVQA(TaskModel):
             self.num_classes = len(dl.dataset.labels_map)
 
         self.loss_fn = registry.get("loss", loss.pop("proto"))(**loss)
+        if (cnn or {}).get("freeze"):
+            self.frozen_prefixes = ("cnn/model",)  # see TaskModel.frozen_prefixes
         self.module = MVQAModule(
             cnn=build_visual_encoder(cnn, dtype=compute_dtype),
             adapter_out=adapter.get("output_size", self.transformer_cfg.hidden_size),

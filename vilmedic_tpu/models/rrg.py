@@ -93,6 +93,11 @@ class RRG(TaskModel):
             enc=build_visual_encoder(cnn, dtype=compute_dtype),
             dec_config=self.dec_config,
         )
+        # cnn.freeze stop-gradients the backbone (visual_encoder.py:91-94);
+        # exclude it from the optimizer too (the projection sibling under
+        # enc/ stays trainable) — see TaskModel.frozen_prefixes
+        if (cnn or {}).get("freeze"):
+            self.frozen_prefixes = ("enc/model",)
         self.eval_func = evaluation
         self.variables: Optional[Dict] = None  # set by the executor
 

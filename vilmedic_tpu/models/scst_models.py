@@ -47,6 +47,7 @@ class _SCSTBase(TaskModel):
                               **base_kwargs)
         self.module = self.model.module
         self.dec_config = self.model.dec_config
+        self.frozen_prefixes = getattr(self.model, "frozen_prefixes", ())
         self._ckpt = ckpt
 
         dataset = dl.dataset

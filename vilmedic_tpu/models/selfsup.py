@@ -126,6 +126,8 @@ class ConVIRT(TaskModel):
             dtype=compute_dtype,
         )
         self.loss_fn = registry.get("loss", loss.pop("proto"))(**loss)
+        if (cnn or {}).get("freeze"):
+            self.frozen_prefixes = ("visual/model",)  # TaskModel.frozen_prefixes
         self.module = ConVIRTModule(
             enc_config=self.enc_config,
             visual=build_visual_encoder(cnn, dtype=compute_dtype),

@@ -432,6 +432,9 @@ class VisionLanguage(TaskModel):
         vision.setdefault("backbone", "vit")
         vision.setdefault("permute", "no_permute")
         vision.setdefault("freeze", True)
+        # frozen tower -> excluded from the optimizer entirely (no adam
+        # m/v slots, no zero-grad update traffic; see TaskModel.frozen_prefixes)
+        self.frozen_prefixes = ("vision",) if vision.get("freeze") else ()
         enc = build_visual_encoder(vision, dtype=compute_dtype)
 
         image_size = vision.get("image_size", 224)
