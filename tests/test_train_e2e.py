@@ -239,6 +239,9 @@ def test_nan_loss_skipped_on_device(workdir, tmp_path):
     ckpt_dir = tmp_path / "ckpt_nan"
     ckpt_dir.mkdir()
     config = _config(workdir, ckpt_dir)
+    # white-box: this test re-reads and re-feeds OLD states after a step —
+    # that's exactly what donation forbids, so opt out of it here
+    config["donate_state"] = False
     set_logger(str(ckpt_dir), 3)
     trainor = Trainor(config=config, seed=3)
     batch = trainor._model_batch(next(iter(trainor.dl)))

@@ -18,6 +18,7 @@ TPU-first design:
 
 from __future__ import annotations
 
+import functools
 import logging
 
 import jax
@@ -55,6 +56,14 @@ class Trainor:
         # device-preprocessed) by a background thread while step i runs.
         # 0 disables (synchronous placement, the pre-round-4 behavior).
         self.device_prefetch = int(config.get("device_prefetch", 2) or 0)
+        # Donate the carried TrainState into the jitted steps: halves the
+        # params+opt_state HBM residency (the lever that fits ViT-base batch
+        # 128 on one v5e — docs/performance.md). Donation DELETES the input
+        # buffers, so everything that outlives a step holds copies: the
+        # initial state un-aliases from model.variables, _sync_model_variables
+        # copies for eval, and checkpoint payloads copy opt_state (the async
+        # writer serializes while the next epoch trains).
+        self.donate_state = bool(config.get("donate_state", True))
 
         self.logger = logging.getLogger(str(seed))
         self.state_dict = load_checkpoint(self.ckpt) if self.ckpt else None
@@ -130,6 +139,12 @@ class Trainor:
             self.mesh = get_mesh(devices=jax.devices()[:data_size])
         params = self.model.variables["params"]
         batch_stats = self.model.variables.get("batch_stats", {})
+        if self.donate_state:
+            # un-alias from model.variables: replicate() is a device_put that
+            # can be a no-op on an already-placed tree, and the first donated
+            # step would otherwise delete the model's own arrays
+            params = jax.tree.map(jnp.array, params)
+            batch_stats = jax.tree.map(jnp.array, batch_stats)
         opt_state = self.tx.init(params)
         if self.state_dict is not None and self.state_dict.get("opt_state"):
             from .checkpoint import restore_into
@@ -166,7 +181,11 @@ class Trainor:
             out, new_stats = model.apply_train(variables, batch, rng, train=True)
             return out["loss"], (out, new_stats)
 
-        @jax.jit
+        # donate the carried state (arg 0): the old state's buffers back the
+        # new state's, halving params+opt residency (see donate_state)
+        donate = (0,) if self.donate_state else ()
+
+        @functools.partial(jax.jit, donate_argnums=donate)
         def train_step(state: TrainState, batch, lr, rng):
             rng = jax.random.fold_in(rng, state.step)
             (loss, (out, new_stats)), grads = jax.value_and_grad(
@@ -187,7 +206,7 @@ class Trainor:
             )
             return new_state, loss
 
-        @jax.jit
+        @functools.partial(jax.jit, donate_argnums=donate)
         def grad_step(state: TrainState, batch, rng, grad_acc):
             rng = jax.random.fold_in(rng, state.step)
             (loss, (out, new_stats)), grads = jax.value_and_grad(
@@ -207,7 +226,7 @@ class Trainor:
             )
             return new_state, loss, grad_acc
 
-        @jax.jit
+        @functools.partial(jax.jit, donate_argnums=donate)
         def apply_step(state: TrainState, grads, lr, gate_loss):
             # gate on the boundary microbatch's loss: when IT was non-finite
             # the reference `continue`s past optimizer.step entirely — without
@@ -426,7 +445,7 @@ class Trainor:
                     path,
                     {
                         "model": self.model.variables,
-                        "opt_state": self.state.opt_state,
+                        "opt_state": self._ckpt_opt_state(),
                         "training_scheduler": scheduler.state_dict(),
                         "config": config.to_dict() if hasattr(config, "to_dict") else dict(config),
                         "__version__": __version__,
@@ -437,7 +456,7 @@ class Trainor:
                 self.saver.save(
                     payload={
                         "model": self.model.variables,
-                        "opt_state": self.state.opt_state,
+                        "opt_state": self._ckpt_opt_state(),
                         "training_scheduler": scheduler.state_dict(),
                         "config": config.to_dict() if hasattr(config, "to_dict") else dict(config),
                         "__version__": __version__,
@@ -474,7 +493,23 @@ class Trainor:
         return {k: v for k, v in batch.items() if v is None or hasattr(v, "shape")}
 
     def _sync_model_variables(self):
-        variables = {"params": self.state.params}
-        if self.state.batch_stats:
-            variables["batch_stats"] = self.state.batch_stats
+        params, batch_stats = self.state.params, self.state.batch_stats
+        if self.donate_state:
+            # eval and the ASYNC checkpoint writer hold these across the next
+            # epoch's donated steps — they must not share buffers with state
+            params = jax.tree.map(jnp.array, params)
+            batch_stats = jax.tree.map(jnp.array, batch_stats)
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
         self.model.variables = variables
+
+    def _ckpt_opt_state(self):
+        """opt_state snapshot for checkpoint payloads (copied under donation:
+        the background writer serializes while later steps reuse the buffers)."""
+        if self.donate_state:
+            return jax.tree.map(
+                lambda x: jnp.array(x) if hasattr(x, "dtype") else x,
+                self.state.opt_state,
+            )
+        return self.state.opt_state
