@@ -100,3 +100,63 @@ def test_long_seq_attention_routing_is_grad_safe():
 
     g = jax.grad(f)(q)
     assert np.isfinite(np.asarray(g)).all()
+
+
+@pytest.mark.parametrize("tq,tk,causal", [(128, 128, False), (100, 130, True),
+                                          (96, 160, False), (130, 130, True)])
+def test_pallas_backward_matches_xla_backward(tq, tk, causal, monkeypatch):
+    """The fused Pallas backward (dq / dkv kernels, lse residual) must produce
+    the SAME grads as the VILMEDIC_FLASH_BWD=xla dense-recompute fallback —
+    including at non-block-multiple (padded) shapes and Tq != Tk offsets."""
+    from vilmedic_tpu.ops import flash_attention as fa
+
+    rng = np.random.default_rng(7)
+    b, h, d = 2, 3, 32
+    q = jnp.asarray(rng.normal(size=(b, tq, h, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, tk, h, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, tk, h, d)), jnp.float32)
+    key_mask = jnp.asarray((np.arange(tk) < tk - 11)[None].repeat(b, 0),
+                           jnp.int32)
+    # a non-uniform cotangent so dq/dk/dv all see structure
+    w = jnp.asarray(rng.normal(size=(b, tq, h, d)), jnp.float32)
+
+    def loss(q, k, v):
+        out = fa.flash_attention(q, k, v, key_mask=key_mask, block_q=64,
+                                 block_k=64, causal=causal)
+        return (out * w).sum()
+
+    monkeypatch.setenv("VILMEDIC_FLASH_BWD", "pallas")
+    g_pallas = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    monkeypatch.setenv("VILMEDIC_FLASH_BWD", "xla")
+    jax.clear_caches()  # the impl switch lives inside an already-traced vjp
+    g_xla = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    for gp, gx in zip(g_pallas, g_xla):
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gx),
+                                   rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_pallas_backward_bias_grad(causal):
+    """dbias from the dkv kernel equals the dense attention's keybias grad
+    (summed over heads and query rows) — checked via _flash_diff directly,
+    which takes the float bias as a differentiable input."""
+    from vilmedic_tpu.ops import flash_attention as fa
+
+    rng = np.random.default_rng(8)
+    b, tq, tk, h, d = 2, 64, 96, 2, 32
+    q = jnp.asarray(rng.normal(size=(b, tq, h, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, tk, h, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, tk, h, d)), jnp.float32)
+    keybias = jnp.asarray(rng.normal(size=(b, tk)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(b, tq, h, d)), jnp.float32)
+
+    def loss_flash(bias):
+        return (fa._flash_diff(q, k, v, bias, 64, 64, True, causal) * w).sum()
+
+    def loss_ref(bias):
+        return (fa._reference_attention(q, k, v, bias, causal) * w).sum()
+
+    g_flash = jax.grad(loss_flash)(keybias)
+    g_ref = jax.grad(loss_ref)(keybias)
+    np.testing.assert_allclose(np.asarray(g_flash), np.asarray(g_ref),
+                               rtol=2e-3, atol=2e-3)

@@ -9,6 +9,7 @@ flash-attention kernel for long multi-image token axes.
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax.numpy as jnp
@@ -23,7 +24,10 @@ def _softmax_f32(x: jnp.ndarray) -> jnp.ndarray:
     return unnorm / jnp.sum(unnorm, axis=-1, keepdims=True)
 
 
-FLASH_MIN_LEN = 1024  # route long attention through the Pallas flash kernel
+# Route attention with both axes >= this length through the Pallas flash
+# kernel (measured crossover on v5e vs XLA's fused dense path — see
+# docs/performance.md auto-policy table). Overridable for A/B sweeps.
+FLASH_MIN_LEN = int(os.environ.get("VILMEDIC_FLASH_MIN_LEN", 1024))
 
 
 def dot_product_attention(
@@ -46,8 +50,9 @@ def dot_product_attention(
 
     Long sequences (the multi-image patch-concat axis; the prefix-LM image
     prefix) stream through the Pallas flash kernel instead of materializing
-    the score matrix; the kernel carries a custom VJP (XLA-recompute
-    backward), so this routing is train-safe.
+    the score matrix; the kernel carries a custom VJP whose backward is a
+    pair of fused Pallas kernels, so this routing is train-safe and the
+    score matrix stays out of HBM in both passes.
     """
     key_bias_only = bias is None or (
         bias.ndim == 4 and bias.shape[1] == 1 and bias.shape[2] == 1

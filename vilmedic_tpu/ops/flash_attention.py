@@ -10,11 +10,15 @@ VMEM with the online-softmax recurrence so the score matrix never hits HBM.
 ``causal=True`` additionally skips K/V blocks entirely above the diagonal and
 masks the diagonal block.
 
-Differentiation: the kernel is forward-only, so ``flash_attention`` carries a
-``jax.custom_vjp`` whose backward pass recomputes the mathematically identical
-XLA attention and differentiates that — long-sequence TRAIN forwards keep the
-flash forward while grads flow through the standard path (which is exactly
-what the non-flash route would have used).
+Differentiation: ``flash_attention`` carries a ``jax.custom_vjp`` whose
+backward is a pair of fused Pallas kernels (FlashAttention-2 recurrence: dq
+blocked over query rows; dk/dv/dbias blocked over key rows) — the (Tq, Tk)
+score matrix never hits HBM in EITHER pass. The forward saves the per-row
+log-sum-exp (LANE-replicated f32, the same stats layout
+``ops.beam_cache_attention`` uses) so the backward recomputes probabilities
+block-locally from q·kᵀ − lse. ``VILMEDIC_FLASH_BWD=xla`` falls back to the
+round-3 behavior (recompute the mathematically identical dense XLA attention
+and differentiate that) for A/B and as a safety hatch.
 
 Static shapes only (this toolchain's Mosaic rejects dynamic ref offsets); the
 key padding mask is passed as an additive bias row. ``flash_attention`` matches
@@ -25,6 +29,7 @@ the same (B, T, H, D) layout.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -32,10 +37,13 @@ import jax.numpy as jnp
 import numpy as np
 
 NEG_INF = -1e9
+LANE = 128  # per-row stats (lse, delta) are replicated across one lane tile
+            # so stores/loads stay layout-friendly (no sublane<->lane transpose)
 
 
-def _kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, block_k: int, scale: float,
-            block_q: int, causal: bool, off: int):
+def _kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *maybe_lse, block_k: int,
+            scale: float, block_q: int, causal: bool, off: int,
+            with_lse: bool = False):
     from jax.experimental import pallas as pl
 
     q = q_ref[0].astype(jnp.float32) * scale  # (bq, d)
@@ -84,14 +92,22 @@ def _kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, block_k: int, scale: float,
         hi = num_kv
     acc, m, l = jax.lax.fori_loop(0, hi, body, (acc0, m0, l0))
     o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+    if with_lse:
+        lse = m + jnp.log(jnp.maximum(l, 1e-30))  # (bq, 1)
+        maybe_lse[0][0] = jnp.broadcast_to(lse, (bq, LANE))
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_q", "block_k", "interpret", "causal", "off")
+    jax.jit,
+    static_argnames=("block_q", "block_k", "interpret", "causal", "off",
+                     "with_lse"),
 )
 def _flash_bhtd(q, k, v, bias, block_q=128, block_k=128, interpret=False,
-                causal=False, off=0):
-    """q: (BH, Tq, D), k/v: (BH, Tk, D), bias: (BH, 1, Tk) additive."""
+                causal=False, off=0, with_lse=False):
+    """q: (BH, Tq, D), k/v: (BH, Tk, D), bias: (BH, 1, Tk) additive.
+
+    ``with_lse=True`` additionally returns the per-row log-sum-exp as
+    (BH, Tq, LANE) f32 (lane-replicated) — the backward kernels' residual."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -103,9 +119,19 @@ def _flash_bhtd(q, k, v, bias, block_q=128, block_k=128, interpret=False,
     scale = d ** -0.5
 
     grid = (bh, tq // block_q)
+    out_shape = jax.ShapeDtypeStruct((bh, tq, d), q.dtype)
+    out_specs = pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+                             memory_space=pltpu.VMEM)
+    if with_lse:
+        out_shape = [out_shape,
+                     jax.ShapeDtypeStruct((bh, tq, LANE), jnp.float32)]
+        out_specs = [out_specs,
+                     pl.BlockSpec((1, block_q, LANE), lambda b, i: (b, i, 0),
+                                  memory_space=pltpu.VMEM)]
     return pl.pallas_call(
         functools.partial(_kernel, block_k=block_k, scale=scale,
-                          block_q=block_q, causal=causal, off=off),
+                          block_q=block_q, causal=causal, off=off,
+                          with_lse=with_lse),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
@@ -117,18 +143,17 @@ def _flash_bhtd(q, k, v, bias, block_q=128, block_k=128, interpret=False,
             pl.BlockSpec((1, 1, tk), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bh, tq, d), q.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
     )(q, k, v, bias)
 
 
-def _flash_forward(q, k, v, keybias, block_q, block_k, interpret, causal):
-    """(B, T, H, D) wrapper: pad to block multiples, run the kernel."""
+def _pad_bhtd(q, k, v, keybias, block_q, block_k):
+    """Shared fwd/bwd prep: pad to block multiples, fold (B, T, H, D) ->
+    (BH, T, D), expand the key bias to (BH, 1, Tk)."""
     b, tq, h, d = q.shape
     tk = k.shape[1]
-    off = tk - tq
 
     def to_bhtd(x):
         return jnp.swapaxes(x, 1, 2).reshape(b * h, x.shape[1], d)
@@ -142,15 +167,25 @@ def _flash_forward(q, k, v, keybias, block_q, block_k, interpret, causal):
         k = jnp.pad(k, ((0, 0), (0, pad_k), (0, 0), (0, 0)))
         v = jnp.pad(v, ((0, 0), (0, pad_k), (0, 0), (0, 0)))
         bias = jnp.pad(bias, ((0, 0), (0, pad_k)), constant_values=NEG_INF)
+    bias_bh = jnp.repeat(bias, h, axis=0)[:, None, :]  # (BH, 1, Tkp)
+    return to_bhtd(q), to_bhtd(k), to_bhtd(v), bias_bh, to_bhtd
 
-    bias_bh = jnp.repeat(bias, h, axis=0)[:, None, :]  # (BH, 1, Tk)
-    out = _flash_bhtd(
-        to_bhtd(q), to_bhtd(k), to_bhtd(v), bias_bh,
+
+def _flash_forward(q, k, v, keybias, block_q, block_k, interpret, causal,
+                   with_lse=False):
+    """(B, T, H, D) wrapper: pad to block multiples, run the kernel."""
+    b, tq, h, d = q.shape
+    tk = k.shape[1]
+    off = tk - tq
+    qp, kp, vp, bias_bh, _ = _pad_bhtd(q, k, v, keybias, block_q, block_k)
+    res = _flash_bhtd(
+        qp, kp, vp, bias_bh,
         block_q=block_q, block_k=block_k, interpret=interpret,
-        causal=causal, off=off,
+        causal=causal, off=off, with_lse=with_lse,
     )
-    out = out.reshape(b, h, -1, d).swapaxes(1, 2)
-    return out[:, :tq]
+    out, lse = res if with_lse else (res, None)
+    out = out.reshape(b, h, -1, d).swapaxes(1, 2)[:, :tq]
+    return (out, lse) if with_lse else out
 
 
 def _reference_attention(q, k, v, keybias, causal):
@@ -175,23 +210,231 @@ def _reference_attention(q, k, v, keybias, causal):
     ).astype(q.dtype)
 
 
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref,
+                   dq_ref, *, block_k: int, scale: float, block_q: int,
+                   causal: bool, off: int):
+    """dQ blocked over query rows: dS = P ⊙ (dO·Vᵀ − Δ); dQ = scale · dS·K.
+    P is recomputed block-locally as exp(S − lse) — no (Tq, Tk) HBM traffic."""
+    from jax.experimental import pallas as pl
+
+    q = q_ref[0].astype(jnp.float32) * scale      # (bq, d)
+    do = do_ref[0].astype(jnp.float32)            # (bq, d)
+    lse = lse_ref[0][:, :1]                       # (bq, 1) — lane-replicated
+    delta = delta_ref[0][:, :1]
+    tk = k_ref.shape[1]
+    num_kv = tk // block_k
+    iq = pl.program_id(1)
+    bq, d = q.shape
+
+    def body(i, acc):
+        k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        b = bias_ref[0, 0, pl.ds(i * block_k, block_k)].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) + b[None, :]
+        if causal:
+            rows = iq * block_q + jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 0)
+            cols = i * block_k + jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1)
+            s = jnp.where(cols <= rows + off, s, NEG_INF)
+        p = jnp.exp(s - lse)                       # (bq, bk); masked -> 0
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - delta)
+        return acc + jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    if causal:
+        hi = jnp.minimum(
+            num_kv, (((iq + 1) * block_q + off) + block_k - 1) // block_k
+        )
+        hi = jnp.maximum(hi, 0)
+    else:
+        hi = num_kv
+    acc = jax.lax.fori_loop(0, hi, body, jnp.zeros((bq, d), jnp.float32))
+    dq_ref[0] = (acc * scale).astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref,
+                    dk_ref, dv_ref, dbias_ref, *, block_q: int, scale: float,
+                    block_k: int, causal: bool, off: int):
+    """dK/dV/dbias blocked over key rows, looping query blocks:
+    dV += Pᵀ·dO;  dK += scale · dSᵀ·Q;  dbias += Σ_rows dS."""
+    from jax.experimental import pallas as pl
+
+    k = k_ref[0].astype(jnp.float32)              # (bk, d)
+    v = v_ref[0].astype(jnp.float32)
+    b = bias_ref[0, 0].astype(jnp.float32)        # (bk,)
+    tq = q_ref.shape[1]
+    num_q = tq // block_q
+    ik = pl.program_id(1)
+    bk, d = k.shape
+
+    def body(j, carry):
+        dk_acc, dv_acc, db_acc = carry
+        # q pre-scaled: dSᵀ·(scale·Q) IS dK — no second scale below
+        q = q_ref[0, pl.ds(j * block_q, block_q), :].astype(jnp.float32) * scale
+        do = do_ref[0, pl.ds(j * block_q, block_q), :].astype(jnp.float32)
+        lse = lse_ref[0, pl.ds(j * block_q, block_q), :][:, :1]
+        delta = delta_ref[0, pl.ds(j * block_q, block_q), :][:, :1]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) + b[None, :]
+        if causal:
+            rows = j * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, bk), 0)
+            cols = ik * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, bk), 1)
+            s = jnp.where(cols <= rows + off, s, NEG_INF)
+        p = jnp.exp(s - lse)                       # (bq, bk)
+        dv_acc = dv_acc + jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - delta)
+        dk_acc = dk_acc + jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        db_acc = db_acc + jnp.sum(ds, axis=0)
+        return dk_acc, dv_acc, db_acc
+
+    if causal:
+        # first query block whose last row can see this key block's first col:
+        # need r >= c_min - off with c_min = ik*block_k
+        lo = jnp.maximum(0, (ik * block_k - off) // block_q)
+    else:
+        lo = 0
+    zeros = (jnp.zeros((bk, d), jnp.float32), jnp.zeros((bk, d), jnp.float32),
+             jnp.zeros((bk,), jnp.float32))
+    dk_acc, dv_acc, db_acc = jax.lax.fori_loop(lo, num_q, body, zeros)
+    dk_ref[0] = dk_acc.astype(dk_ref.dtype)
+    dv_ref[0] = dv_acc.astype(dv_ref.dtype)
+    dbias_ref[0, 0] = db_acc
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_q", "block_k", "interpret", "causal", "off"),
+)
+def _flash_bwd_bhtd(q, k, v, bias, do, lse, delta, block_q, block_k,
+                    interpret, causal, off):
+    """(BH, T, D) backward: two pallas_calls (dq over q blocks; dk/dv/dbias
+    over k blocks). lse/delta are (BH, Tq, LANE) lane-replicated f32."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    bh, tq, d = q.shape
+    tk = k.shape[1]
+    block_q = min(block_q, tq)
+    block_k = min(block_k, tk)
+    assert tq % block_q == 0 and tk % block_k == 0
+    scale = d ** -0.5
+
+    def vmem(shape, index):
+        return pl.BlockSpec(shape, index, memory_space=pltpu.VMEM)
+
+    q_blk = vmem((1, block_q, d), lambda b, i: (b, i, 0))
+    q_full = vmem((1, tq, d), lambda b, i: (b, 0, 0))
+    k_full = vmem((1, tk, d), lambda b, i: (b, 0, 0))
+    k_blk = vmem((1, block_k, d), lambda b, i: (b, i, 0))
+    stats_blk = vmem((1, block_q, LANE), lambda b, i: (b, i, 0))
+    stats_full = vmem((1, tq, LANE), lambda b, i: (b, 0, 0))
+
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, block_k=block_k, scale=scale,
+                          block_q=block_q, causal=causal, off=off),
+        grid=(bh, tq // block_q),
+        in_specs=[q_blk, k_full, k_full,
+                  vmem((1, 1, tk), lambda b, i: (b, 0, 0)),
+                  q_blk, stats_blk, stats_blk],
+        out_specs=q_blk,
+        out_shape=jax.ShapeDtypeStruct((bh, tq, d), q.dtype),
+        interpret=interpret,
+    )(q, k, v, bias, do, lse, delta)
+
+    dk, dv, dbias = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, block_q=block_q, scale=scale,
+                          block_k=block_k, causal=causal, off=off),
+        grid=(bh, tk // block_k),
+        in_specs=[q_full, k_blk, k_blk,
+                  vmem((1, 1, block_k), lambda b, i: (b, 0, i)),
+                  q_full, stats_full, stats_full],
+        out_specs=[k_blk, k_blk,
+                   vmem((1, 1, block_k), lambda b, i: (b, 0, i))],
+        out_shape=[jax.ShapeDtypeStruct((bh, tk, d), k.dtype),
+                   jax.ShapeDtypeStruct((bh, tk, d), v.dtype),
+                   jax.ShapeDtypeStruct((bh, 1, tk), jnp.float32)],
+        interpret=interpret,
+    )(q, k, v, bias, do, lse, delta)
+    return dq, dk, dv, dbias
+
+
+def _flash_backward(q, k, v, keybias, out, lse, g, block_q, block_k,
+                    interpret, causal):
+    """(B, T, H, D) backward wrapper: pad like the forward, build Δ =
+    rowsum(dO ⊙ O) lane-replicated, run the kernels, unpad/unfold."""
+    b, tq, h, d = q.shape
+    tk = k.shape[1]
+    off = tk - tq
+    qp, kp, vp, bias_bh, to_bhtd = _pad_bhtd(q, k, v, keybias, block_q,
+                                             block_k)
+    tqp = qp.shape[1]
+    gp, outp = g, out
+    if tqp != tq:
+        pad = ((0, 0), (0, tqp - tq), (0, 0), (0, 0))
+        gp = jnp.pad(g, pad)
+        outp = jnp.pad(out, pad)
+    do = to_bhtd(gp)
+    # Δ_i = Σ_d dO ⊙ O per row; padded rows (dO = 0) contribute 0
+    delta = jnp.sum(do.astype(jnp.float32) * to_bhtd(outp).astype(jnp.float32),
+                    axis=-1)                      # (BH, Tqp)
+    delta = jnp.broadcast_to(delta[..., None], (*delta.shape, LANE))
+    dq, dk, dv, dbias = _flash_bwd_bhtd(
+        qp, kp, vp, bias_bh, do, lse, delta,
+        block_q=block_q, block_k=block_k, interpret=interpret, causal=causal,
+        off=off,
+    )
+
+    def unfold(x, t):
+        return x.reshape(b, h, -1, d).swapaxes(1, 2)[:, :t]
+
+    dbias = dbias.reshape(b, h, -1).sum(1)[:, :tk].astype(keybias.dtype)
+    return (unfold(dq, tq).astype(q.dtype), unfold(dk, tk).astype(k.dtype),
+            unfold(dv, tk).astype(v.dtype), dbias)
+
+
+def _bwd_impl() -> str:
+    return os.environ.get("VILMEDIC_FLASH_BWD", "pallas").lower()
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
 def _flash_diff(q, k, v, keybias, block_q, block_k, interpret, causal):
     return _flash_forward(q, k, v, keybias, block_q, block_k, interpret, causal)
 
 
 def _flash_diff_fwd(q, k, v, keybias, block_q, block_k, interpret, causal):
-    out = _flash_forward(q, k, v, keybias, block_q, block_k, interpret, causal)
-    return out, (q, k, v, keybias)
+    if _bwd_impl() == "xla":
+        out = _flash_forward(q, k, v, keybias, block_q, block_k, interpret,
+                             causal)
+        return out, (q, k, v, keybias)
+    out, lse = _flash_forward(q, k, v, keybias, block_q, block_k, interpret,
+                              causal, with_lse=True)
+    return out, (q, k, v, keybias, out, lse)
 
 
 def _flash_diff_bwd(block_q, block_k, interpret, causal, res, g):
-    q, k, v, keybias = res
-    _, vjp = jax.vjp(
-        lambda q_, k_, v_, b_: _reference_attention(q_, k_, v_, b_, causal),
-        q, k, v, keybias,
-    )
-    return vjp(g)
+    if len(res) == 4:  # VILMEDIC_FLASH_BWD=xla fallback (round-3 behavior)
+        q, k, v, keybias = res
+        _, vjp = jax.vjp(
+            lambda q_, k_, v_, b_: _reference_attention(q_, k_, v_, b_, causal),
+            q, k, v, keybias,
+        )
+        return vjp(g)
+    q, k, v, keybias, out, lse = res
+    return _flash_backward(q, k, v, keybias, out, lse, g, block_q, block_k,
+                           interpret, causal)
 
 
 _flash_diff.defvjp(_flash_diff_fwd, _flash_diff_bwd)
@@ -209,7 +452,8 @@ def flash_attention(
 ) -> jnp.ndarray:
     """Tiled attention with (B, T, H, D) layout; key-padding mask, optional
     causal masking (query r sees key c iff c <= r + Tk - Tq). Differentiable —
-    the backward pass is the recomputed XLA attention's VJP."""
+    the backward is a pair of fused Pallas kernels (FlashAttention-2
+    recurrence); ``VILMEDIC_FLASH_BWD=xla`` restores the dense-recompute VJP."""
     b, tk = k.shape[0], k.shape[1]
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
