@@ -88,6 +88,40 @@ def test_flash_attention_is_differentiable(causal):
                                    rtol=2e-3, atol=2e-3)
 
 
+def test_train_flash_threshold_routing(monkeypatch):
+    """``train=True`` lowers the flash crossover to FLASH_MIN_LEN_TRAIN (512):
+    the fused Pallas backward makes flash win from ~T512 on fwd+bwd steps
+    (measured v5e, experiments/ab_flash_train_crossover), while fwd-only
+    routing keeps the 1024 threshold. Asserts the routing itself by counting
+    kernel entries, and numerical agreement between the two routes."""
+    from vilmedic_tpu.ops import attention as attn_mod
+    from vilmedic_tpu.ops import flash_attention as fa
+
+    calls = []
+    real = fa.flash_attention
+
+    def spy(*args, **kwargs):
+        calls.append(1)
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(fa, "flash_attention", spy)
+    rng = np.random.default_rng(11)
+    t = 512
+    assert attn_mod.FLASH_MIN_LEN_TRAIN <= t < attn_mod.FLASH_MIN_LEN
+    q = jnp.asarray(rng.normal(size=(1, t, 2, 32)), jnp.float32)
+
+    dense = dot_product_attention(q, q, q, causal=True)  # fwd-only: dense
+    assert not calls
+    flash = dot_product_attention(q, q, q, causal=True, train=True)
+    assert calls
+    np.testing.assert_allclose(np.asarray(flash), np.asarray(dense),
+                               rtol=2e-4, atol=2e-4)
+
+    g = jax.grad(lambda q: dot_product_attention(q, q, q, causal=True,
+                                                 train=True).sum())(q)
+    assert np.isfinite(np.asarray(g)).all()
+
+
 def test_long_seq_attention_routing_is_grad_safe():
     """dot_product_attention at >= FLASH_MIN_LEN routes to the flash kernel;
     training forwards at that length (multi-image patch concat, DINOv2-scale

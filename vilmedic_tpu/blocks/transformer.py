@@ -210,6 +210,7 @@ class MultiHeadAttention(nn.Module):
         decode_index: Optional[jnp.ndarray] = None,
         ancestry: Optional[jnp.ndarray] = None,
         causal: bool = False,
+        train: bool = False,
     ):
         q = self._split(self.q_proj(x))
         new_cache = None
@@ -295,7 +296,8 @@ class MultiHeadAttention(nn.Module):
             else:
                 k, v = k_new, v_new
         out = dot_product_attention(
-            q, k, v, bias=bias, dtype=self.config.dtype, causal=causal
+            q, k, v, bias=bias, dtype=self.config.dtype, causal=causal,
+            train=train,
         )
         return self.o_proj(self._merge(out)), new_cache
 
@@ -547,7 +549,7 @@ class EncoderLayer(nn.Module):
         self.dropout = nn.Dropout(cfg.hidden_dropout_prob)
 
     def __call__(self, x, bias=None, deterministic=True):
-        attn, _ = self.self_attn(x, bias=bias)
+        attn, _ = self.self_attn(x, bias=bias, train=not deterministic)
         x = self.self_ln(x + self.dropout(attn, deterministic=deterministic))
         x = self.ffn_ln(x + self.ffn(x, deterministic=deterministic))
         return x
@@ -582,11 +584,12 @@ class DecoderLayer(nn.Module):
         # a remat static_argnum when gradient_checkpointing is on.
         attn, new_self_cache = self.self_attn(
             x, bias=self_bias, cache=self_cache, decode_index=decode_index,
-            ancestry=ancestry,
+            ancestry=ancestry, train=not deterministic,
         )
         x = self.self_ln(x + self.dropout(attn, deterministic=deterministic))
         cross, _ = self.cross_attn(
-            x, kv_input=enc_hidden, bias=cross_bias, cache=cross_cache
+            x, kv_input=enc_hidden, bias=cross_bias, cache=cross_cache,
+            train=not deterministic,
         )
         x = self.cross_ln(x + self.dropout(cross, deterministic=deterministic))
         x = self.ffn_ln(x + self.ffn(x, deterministic=deterministic))

@@ -62,7 +62,7 @@ class CausalLayer(nn.Module):
         else:
             attn, new_cache = self.self_attn(
                 x, bias=bias, cache=cache, decode_index=decode_index,
-                causal=causal,
+                causal=causal, train=not deterministic,
             )
         x = self.self_ln(x + self.dropout(attn, deterministic=deterministic))
         x = self.ffn_ln(x + self.ffn(x, deterministic=deterministic))

@@ -28,6 +28,12 @@ def _softmax_f32(x: jnp.ndarray) -> jnp.ndarray:
 # kernel (measured crossover on v5e vs XLA's fused dense path — see
 # docs/performance.md auto-policy table). Overridable for A/B sweeps.
 FLASH_MIN_LEN = int(os.environ.get("VILMEDIC_FLASH_MIN_LEN", 1024))
+# Train steps (fwd+bwd) cross over earlier: the dense path's backward
+# materializes several (B, H, Tq, Tk) score-sized tensors in HBM while the
+# fused Pallas VJP streams them — measured on v5e: flash/dense 0.80 at T512
+# causal, 0.78 at T512 non-causal, 0.42 at T1472 (the DINOv2 VL-prefill
+# shape); dense still wins at T256/T197 (experiments/ab_flash_train_crossover).
+FLASH_MIN_LEN_TRAIN = int(os.environ.get("VILMEDIC_FLASH_MIN_LEN_TRAIN", 512))
 
 
 def dot_product_attention(
@@ -37,6 +43,7 @@ def dot_product_attention(
     bias: Optional[jnp.ndarray] = None,
     dtype=jnp.float32,
     causal: bool = False,
+    train: bool = False,
 ) -> jnp.ndarray:
     """Scaled dot-product attention.
 
@@ -53,13 +60,18 @@ def dot_product_attention(
     the score matrix; the kernel carries a custom VJP whose backward is a
     pair of fused Pallas kernels, so this routing is train-safe and the
     score matrix stays out of HBM in both passes.
+
+    ``train=True`` (a fwd+bwd step will run) lowers the flash crossover to
+    ``FLASH_MIN_LEN_TRAIN``: the dense backward's HBM-resident score-sized
+    intermediates make flash win from ~T512 where the forward alone would not.
     """
     key_bias_only = bias is None or (
         bias.ndim == 4 and bias.shape[1] == 1 and bias.shape[2] == 1
     )
+    min_len = FLASH_MIN_LEN_TRAIN if train else FLASH_MIN_LEN
     if (
-        q.shape[1] >= FLASH_MIN_LEN
-        and k.shape[1] >= FLASH_MIN_LEN
+        q.shape[1] >= min_len
+        and k.shape[1] >= min_len
         and key_bias_only
     ):
         from .flash_attention import flash_attention
