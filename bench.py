@@ -186,10 +186,14 @@ def build_generate(module, variables, batch):
     return generate
 
 
-def build_vl():
+def build_vl(batch=None, vl_image=None, vl_patch=None, quantize_prefix=None,
+             gradient_checkpointing=False):
     """Build the BENCH_VL model + jitted beam-8 generate (also used by
     experiments/profile_vl.py). Returns (module, variables, generate, batch,
-    vl_image, n_prefix)."""
+    vl_image, n_prefix). Explicit arguments override the BENCH_VL_* env knobs
+    (the default bench measures two operating points in one run).
+    ``gradient_checkpointing`` remats the decoder layer stack on the train
+    forward (experiments/ab_vl518_train.py sweeps it)."""
     from vilmedic_tpu.blocks.transformer import (
         TransformerConfig,
         make_blocked_head_weights,
@@ -199,12 +203,15 @@ def build_vl():
     from vilmedic_tpu.decoding import beam_search, tile_for_beams
     from vilmedic_tpu.models.vision_language import VisionLanguageModule
 
-    batch = int(os.environ.get("BENCH_VL_BATCH", 32))
+    if batch is None:
+        batch = int(os.environ.get("BENCH_VL_BATCH", 32))
     # DINOv2-scale prefix knobs: BENCH_VL_IMAGE=518 BENCH_VL_PATCH=14 gives the
     # reference flagship's ~1371-token image prefix (37x37 patches + CLS + marker),
     # the regime the split beam-shared prefix cache was built for.
-    vl_image = int(os.environ.get("BENCH_VL_IMAGE", IMAGE))
-    vl_patch = int(os.environ.get("BENCH_VL_PATCH", 16))
+    if vl_image is None:
+        vl_image = int(os.environ.get("BENCH_VL_IMAGE", IMAGE))
+    if vl_patch is None:
+        vl_patch = int(os.environ.get("BENCH_VL_PATCH", 16))
     n_prefix = (vl_image // vl_patch) ** 2 + 2
     cfg = TransformerConfig(
         vocab_size=50368, hidden_size=768, num_hidden_layers=12,
@@ -212,6 +219,7 @@ def build_vl():
         max_position_embeddings=max(1024, n_prefix + MAX_LEN + 4),
         hidden_dropout_prob=0.0,
         dtype=jnp.bfloat16,
+        gradient_checkpointing=gradient_checkpointing,
     )
     vision = dict(
         backbone="vit", permute="no_permute", hidden_size=768,
@@ -231,36 +239,65 @@ def build_vl():
     variables = init(jax.random.key(0))
     _mark("vl init done")
 
-    quantize_prefix = bool(os.environ.get("BENCH_VL_INT8"))
+    if quantize_prefix is None:
+        quantize_prefix = bool(os.environ.get("BENCH_VL_INT8"))
 
-    @jax.jit
-    def generate(variables, images):
-        cache, prefix_kv, p = module.apply(
-            variables, images, MAX_LEN, quantize_prefix=quantize_prefix,
-            method=VisionLanguageModule.prefill,
-        )
-        cache = to_kernel_cache(tile_for_beams(cache, BEAM))
-        blocked = make_blocked_head_weights(variables["params"], cfg.dtype)
-
-        def step_fn(tokens, cache, index, anc=None):
-            logits, new_cache = module.apply(
-                variables, tokens, cache, prefix_kv, index, p,
-                blocked_head=blocked, ancestry=anc,
-                method=VisionLanguageModule.decode_step,
+    def make_generate(quantize_prefix):
+        @jax.jit
+        def generate(variables, images):
+            cache, prefix_kv, p = module.apply(
+                variables, images, MAX_LEN, quantize_prefix=quantize_prefix,
+                method=VisionLanguageModule.prefill,
             )
-            return logits, new_cache
+            cache = to_kernel_cache(tile_for_beams(cache, BEAM))
+            blocked = make_blocked_head_weights(variables["params"], cfg.dtype)
 
-        from vilmedic_tpu.ops.beam_cache_attention import pick_ancestry_group
+            def step_fn(tokens, cache, index, anc=None):
+                logits, new_cache = module.apply(
+                    variables, tokens, cache, prefix_kv, index, p,
+                    blocked_head=blocked, ancestry=anc,
+                    method=VisionLanguageModule.decode_step,
+                )
+                return logits, new_cache
 
-        anc_g = pick_ancestry_group(batch, BEAM, MAX_LEN)
-        assert anc_g is not None, (batch, BEAM, MAX_LEN)  # bench shapes are kernel-legal
-        return beam_search(
-            step_fn, cache, batch, BEAM, MAX_LEN, bos_id=0, eos_id=2,
-            pad_id=1, length_penalty=1.0, blocked_vocab=cfg.vocab_size,
-            ancestry=True, ancestry_group_items=anc_g,
-        ).sequences
+            from vilmedic_tpu.ops.beam_cache_attention import pick_ancestry_group
 
+            anc_g = pick_ancestry_group(batch, BEAM, MAX_LEN)
+            assert anc_g is not None, (batch, BEAM, MAX_LEN)  # kernel-legal
+            return beam_search(
+                step_fn, cache, batch, BEAM, MAX_LEN, bos_id=0, eos_id=2,
+                pad_id=1, length_penalty=1.0, blocked_vocab=cfg.vocab_size,
+                ancestry=True, ancestry_group_items=anc_g,
+            ).sequences
+
+        return generate
+
+    generate = make_generate(quantize_prefix)
+    # expose the builder so the default bench can A/B the int8 prefix-KV
+    # lever on the SAME built model (params are shared; only prefill's cache
+    # dtype differs)
+    generate.rebuild = make_generate
     return module, variables, generate, batch, vl_image, n_prefix
+
+
+def _time_vl_decode(generate, variables, batch, vl_image):
+    """Compile + measure one VL beam-8 decode point; returns reports/s
+    (steady-state: enqueue all batches, sync once — see _measure_decode)."""
+    make_images = jax.jit(lambda key: jax.random.normal(
+        key, (batch, vl_image, vl_image, 3), jnp.float32
+    ))
+    batches = [make_images(jax.random.key(i)) for i in range(5)]
+    for b in batches:
+        np.asarray(b[0, 0, 0])
+    np.asarray(generate(variables, batches[0]))  # compile + warm
+    t0 = time.perf_counter()
+    outs = [generate(variables, b) for b in batches]
+    for o in outs:
+        np.asarray(o)
+    dt = (time.perf_counter() - t0) / len(batches)
+    rps = round(batch / dt, 3)
+    _mark(f"vl decode@{vl_image}px b{batch}: {rps} rep/s")
+    return rps
 
 
 def bench_vl():
@@ -273,24 +310,9 @@ def bench_vl():
     JSON line with vl_reports_per_sec_chip_beam8 and returns.
     """
     module, variables, generate, batch, vl_image, n_prefix = build_vl()
-    make_images = jax.jit(lambda key: jax.random.normal(
-        key, (batch, vl_image, vl_image, 3), jnp.float32
-    ))
-    batches = [make_images(jax.random.key(i)) for i in range(5)]
-    for b in batches:
-        np.asarray(b[0, 0, 0])
-    np.asarray(generate(variables, batches[0]))
-    _mark("vl generate compiled + warm")
-    t0 = time.perf_counter()
-    outs = [generate(variables, b) for b in batches]
-    for o in outs:
-        np.asarray(o)
-    dt = (time.perf_counter() - t0) / len(batches)
-    rps = batch / dt
-    _mark(f"vl decode {rps:.1f} rep/s")
+    rps = _time_vl_decode(generate, variables, batch, vl_image)
     extra = {}
     if os.environ.get("BENCH_VL_TRAIN"):
-        del batches, outs  # free decode HBM before the train graphs compile
         sps, mfu = bench_vl_train(module, variables, vl_image)
         extra = {"vl_train_samples_per_sec_chip": sps, "vl_train_mfu": mfu}
     print(json.dumps({
@@ -524,23 +546,29 @@ def main():
     if not os.environ.get("BENCH_SKIP_VL"):
         try:
             module_vl, variables_vl, generate_vl, vl_batch, vl_image, _ = build_vl()
-            make_images = jax.jit(lambda key: jax.random.normal(
-                key, (vl_batch, vl_image, vl_image, 3), jnp.float32
-            ))
-            vbatches = [make_images(jax.random.key(i)) for i in range(5)]
-            for b in vbatches:
-                np.asarray(b[0, 0, 0])
-            np.asarray(generate_vl(variables_vl, vbatches[0]))
-            t0 = time.perf_counter()
-            vouts = [generate_vl(variables_vl, b) for b in vbatches]
-            for o in vouts:
-                np.asarray(o)
-            vdt = (time.perf_counter() - t0) / len(vbatches)
-            vl_fields["vl_reports_per_sec_chip_beam8"] = round(vl_batch / vdt, 3)
-            del vbatches, vouts
+            vl_fields["vl_reports_per_sec_chip_beam8"] = _time_vl_decode(
+                generate_vl, variables_vl, vl_batch, vl_image
+            )
+            # train LAST on this model: bench_vl_train donates variables_vl
             sps, mfu = bench_vl_train(module_vl, variables_vl, vl_image)
             vl_fields["vl_train_samples_per_sec_chip"] = sps
             vl_fields["vl_train_mfu"] = mfu
+            del module_vl, variables_vl
+            _mark(f"vl 224 done {vl_fields}")
+            # DINOv2-scale operating point (518px/14 -> 1371-token prefix, the
+            # reference flagship's regime) + the int8 prefix-KV lever's
+            # win/loss ON THE SAME BUILT MODEL — batch 16 is the measured
+            # near-peak for both (48.5@8/51.4@16 exact, 61.2@16 int8, r4
+            # hardware session 1)
+            mod5, vars5, gen5, b5, im5, _ = build_vl(
+                batch=16, vl_image=518, vl_patch=14, quantize_prefix=False
+            )
+            vl_fields["vl518_reports_per_sec_chip_beam8"] = _time_vl_decode(
+                gen5, vars5, b5, im5
+            )
+            vl_fields["vl518_int8kv_reports_per_sec_chip_beam8"] = (
+                _time_vl_decode(gen5.rebuild(True), vars5, b5, im5)
+            )
             _mark(f"vl done {vl_fields}")
         except Exception as e:  # never lose the whole bench line to VL
             _mark(f"VL bench failed: {e!r}")
