@@ -17,6 +17,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -123,6 +124,43 @@ def build_vit_model():
 def _mark(msg):
     # progress to STDERR (stdout is the driver's one-JSON-line contract)
     print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
+
+
+# per-metric spread (% of median, max-min) emitted as one "spread_pct" JSON
+# field: the r4 lesson is that single-shot 6-step timings on a tunneled
+# shared host move +-20% on one contention event — larger than most lever
+# margins — so every headline must carry its own noise estimate
+SPREAD_PCT = {}
+REPEATS = int(os.environ.get("BENCH_REPEATS", 3))
+SPREAD_LIMIT = float(os.environ.get("BENCH_SPREAD_LIMIT", 10.0))
+
+
+def repeat_median(run_once, label, repeats=None, max_extra=2):
+    """Median of >=``repeats`` timed repetitions of an ALREADY-COMPILED region.
+
+    ``run_once()`` must execute the steady-state chain (enqueue N, sync once)
+    and return a rate. When the observed spread (max-min as % of median)
+    exceeds ``BENCH_SPREAD_LIMIT`` (host contention / tunnel hiccup), up to
+    ``max_extra`` more repetitions are taken — the median then rejects the
+    outlier instead of publishing it as a headline. The spread is recorded in
+    ``SPREAD_PCT[label]`` and emitted with the JSON line.
+    """
+    repeats = REPEATS if repeats is None else repeats
+    vals = [run_once() for _ in range(max(1, repeats))]
+
+    def _spread(vs):
+        med = statistics.median(vs)
+        return 100.0 * (max(vs) - min(vs)) / med if med else 0.0
+
+    extra = 0
+    while _spread(vals) > SPREAD_LIMIT and extra < max_extra:
+        _mark(f"{label}: spread {_spread(vals):.1f}% > {SPREAD_LIMIT:.0f}% "
+              f"(contention?) — extra repetition")
+        vals.append(run_once())
+        extra += 1
+    med = statistics.median(vals)
+    SPREAD_PCT[label] = round(_spread(vals), 1)
+    return med
 
 
 def build_generate(module, variables, batch):
@@ -264,11 +302,15 @@ def build_vl(batch=None, vl_image=None, vl_patch=None, quantize_prefix=None,
 
             anc_g = pick_ancestry_group(batch, BEAM, MAX_LEN)
             assert anc_g is not None, (batch, BEAM, MAX_LEN)  # kernel-legal
-            return beam_search(
+            res = beam_search(
                 step_fn, cache, batch, BEAM, MAX_LEN, bos_id=0, eos_id=2,
                 pad_id=1, length_penalty=1.0, blocked_vocab=cfg.vocab_size,
                 ancestry=True, ancestry_group_items=anc_g,
-            ).sequences
+            )
+            # scores ride along so the int8 prefix-KV A/B can record its
+            # task-level cost (sequence agreement + |Δ beam score|), not just
+            # a logit-tolerance bound
+            return res.sequences, res.scores
 
         return generate
 
@@ -289,15 +331,46 @@ def _time_vl_decode(generate, variables, batch, vl_image):
     batches = [make_images(jax.random.key(i)) for i in range(5)]
     for b in batches:
         np.asarray(b[0, 0, 0])
-    np.asarray(generate(variables, batches[0]))  # compile + warm
-    t0 = time.perf_counter()
-    outs = [generate(variables, b) for b in batches]
-    for o in outs:
-        np.asarray(o)
-    dt = (time.perf_counter() - t0) / len(batches)
-    rps = round(batch / dt, 3)
-    _mark(f"vl decode@{vl_image}px b{batch}: {rps} rep/s")
+    np.asarray(generate(variables, batches[0])[0])  # compile + warm
+
+    def run_once():
+        t0 = time.perf_counter()
+        outs = [generate(variables, b) for b in batches]
+        for o in outs:
+            np.asarray(o[0])
+        return batch * len(batches) / (time.perf_counter() - t0)
+
+    label = f"vl{vl_image}@{batch}"
+    rps = round(repeat_median(run_once, label), 3)
+    _mark(f"vl decode@{vl_image}px b{batch}: {rps} rep/s "
+          f"(spread {SPREAD_PCT[label]}%)")
     return rps
+
+
+def _vl_int8_task_delta(gen_exact, gen_int8, variables, batch, vl_image):
+    """Task-level cost of the int8 prefix-KV lever, on the SAME images:
+    fraction of beam-8 sequences that match the exact decode token-for-token,
+    and the mean |Δ| of the length-normalized best-beam scores. The logit
+    tolerance test (tests/test_vision_language.py) bounds per-step error;
+    this records what that error does to the *decoded reports*."""
+    make_images = jax.jit(lambda key: jax.random.normal(
+        key, (batch, vl_image, vl_image, 3), jnp.float32
+    ))
+    agree = n = 0
+    deltas = []
+    for i in range(3):
+        images = make_images(jax.random.key(100 + i))
+        se, sce = (np.asarray(x) for x in gen_exact(variables, images))
+        sq, scq = (np.asarray(x) for x in gen_int8(variables, images))
+        agree += int((se == sq).all(axis=1).sum())
+        n += se.shape[0]
+        deltas.append(np.abs(sce - scq))
+    return {
+        "vl518_int8kv_seq_agreement": round(agree / n, 4),
+        "vl518_int8kv_mean_abs_score_delta": round(
+            float(np.mean(np.concatenate(deltas))), 5
+        ),
+    }
 
 
 def bench_vl():
@@ -321,6 +394,7 @@ def bench_vl():
         "unit": "reports/s/chip",
         "vs_baseline": round(rps / ESTIMATED_A100_REFERENCE_REPORTS_PER_SEC, 3),
         **extra,
+        "spread_pct": SPREAD_PCT,
     }))
 
 
@@ -385,15 +459,20 @@ def bench_vl_train(module, variables, vl_image):
     params, opt_state, loss = train_step(*args)
     _ = float(loss)  # sync (axon: block_until_ready does not wait)
     N = 6
-    t0 = time.perf_counter()
-    for i in range(N):
-        params, opt_state, loss = train_step(
-            params, opt_state, images, ids, mask, jax.random.key(i)
-        )
-    _ = float(loss)
-    dt = (time.perf_counter() - t0) / N
-    sps = round(tb / dt, 3)
-    mfu = round(flops / dt / _peak_flops(), 4) if flops else None
+
+    def run_once():
+        nonlocal params, opt_state
+        t0 = time.perf_counter()
+        for i in range(N):
+            params, opt_state, loss = train_step(
+                params, opt_state, images, ids, mask, jax.random.key(i)
+            )
+        _ = float(loss)
+        return N / (time.perf_counter() - t0)
+
+    steps_per_sec = repeat_median(run_once, f"vl{vl_image}_train")
+    sps = round(tb * steps_per_sec, 3)
+    mfu = round(flops * steps_per_sec / _peak_flops(), 4) if flops else None
     _mark(f"vl train {sps} samples/s mfu={mfu}")
     return sps, mfu
 
@@ -444,13 +523,17 @@ def _measure_decode(module, variables, batch):
     for b in batches:
         np.asarray(b[0, 0, 0])
     np.asarray(generate(variables, batches[0]))  # compile + warm
-    t0 = time.perf_counter()
-    outs = [generate(variables, b) for b in batches]
-    for o in outs:
-        np.asarray(o)
-    dt = (time.perf_counter() - t0) / len(batches)
-    rps = batch / dt
-    _mark(f"decode@{batch}: {rps:.1f} rep/s")
+
+    def run_once():
+        t0 = time.perf_counter()
+        outs = [generate(variables, b) for b in batches]
+        for o in outs:
+            np.asarray(o)
+        return batch * len(batches) / (time.perf_counter() - t0)
+
+    rps = repeat_median(run_once, f"decode@{batch}")
+    _mark(f"decode@{batch}: {rps:.1f} rep/s "
+          f"(spread {SPREAD_PCT[f'decode@{batch}']}%)")
     return rps
 
 
@@ -506,7 +589,7 @@ def main():
         "decode_sweep": {str(k): v for k, v in decode_sweep.items()},
     }
     if os.environ.get("BENCH_DECODE_ONLY"):  # quick decode-path A/Bs
-        print(json.dumps(headline))
+        print(json.dumps({**headline, "spread_pct": SPREAD_PCT}))
         return
 
     train_samples_per_sec, train_mfu, train_step, train_state = bench_train(
@@ -532,7 +615,7 @@ def main():
     # costs more than the residual writes it saves (docs/performance.md).
     vit_samples_per_sec, vit_mfu, _, _ = bench_train(
         vit_module, vit_init(jax.random.key(0)), batch=min(TRAIN_BATCH, 128),
-        donate=True, rng_impl="rbg",
+        donate=True, rng_impl="rbg", label="vit_train",
     )
     _mark(f"vit train done {vit_samples_per_sec} samples/s mfu={vit_mfu}")
     del vit_module
@@ -566,9 +649,16 @@ def main():
             vl_fields["vl518_reports_per_sec_chip_beam8"] = _time_vl_decode(
                 gen5, vars5, b5, im5
             )
+            gen5_int8 = gen5.rebuild(True)
             vl_fields["vl518_int8kv_reports_per_sec_chip_beam8"] = (
-                _time_vl_decode(gen5.rebuild(True), vars5, b5, im5)
+                _time_vl_decode(gen5_int8, vars5, b5, im5)
             )
+            # the +19% throughput lever's quality trade, on the same model
+            # and images (both programs already compiled above)
+            vl_fields.update(_vl_int8_task_delta(gen5, gen5_int8, vars5, b5, im5))
+            _mark(f"vl int8 task delta "
+                  f"{vl_fields['vl518_int8kv_seq_agreement']} agree, "
+                  f"|dscore| {vl_fields['vl518_int8kv_mean_abs_score_delta']}")
             # DINOv2-scale train point, LAST (donates vars5). Batch 8 is the
             # measured peak and batch scaling is flat; remat is a net loss
             # (experiments/ab_vl518_train.py: 67.8/65.3/66.0 sps at 8/16/32,
@@ -593,13 +683,14 @@ def main():
                 "vit_train_samples_per_sec_chip": vit_samples_per_sec,
                 "vit_train_mfu": vit_mfu,
                 **vl_fields,
+                "spread_pct": SPREAD_PCT,
             }
         )
     )
 
 
 def bench_train(module, variables, batch=None, donate=False,
-                rng_impl="threefry2x32"):
+                rng_impl="threefry2x32", label="train"):
     """Train-step throughput (samples/s/chip) + MFU on the same flagship RRG.
 
     Full production step: loss + grads + adamw update + BN stats, batch 128
@@ -667,15 +758,20 @@ def bench_train(module, variables, batch=None, donate=False,
     # reads are async); syncing per step here would add the tunnel round-trip
     # (~50 ms) to each measurement.
     N = 6
-    t0 = time.perf_counter()
-    for i in range(N):
-        params, batch_stats, opt_state, loss = train_step(
-            params, batch_stats, opt_state, images, ids, mask, mk_key(i)
-        )
-    _ = float(loss)
-    dt = (time.perf_counter() - t0) / N
-    samples_per_sec = round(batch / dt, 3)
-    mfu = round(flops / dt / _peak_flops(), 4) if flops else None
+
+    def run_once():
+        nonlocal params, batch_stats, opt_state
+        t0 = time.perf_counter()
+        for i in range(N):
+            params, batch_stats, opt_state, loss = train_step(
+                params, batch_stats, opt_state, images, ids, mask, mk_key(i)
+            )
+        _ = float(loss)
+        return N / (time.perf_counter() - t0)  # steps/s
+
+    steps_per_sec = repeat_median(run_once, label)
+    samples_per_sec = round(batch * steps_per_sec, 3)
+    mfu = round(flops * steps_per_sec / _peak_flops(), 4) if flops else None
     return samples_per_sec, mfu, train_step, (params, batch_stats, opt_state)
 
 
@@ -737,11 +833,14 @@ def bench_loader(train_step, state):
                 jnp.asarray(fb["attention_mask"]))
 
     # host-only rate: collate/prefetch with no device work in the loop
-    n = 0
-    t0 = time.perf_counter()
-    for batch in loader():
-        n += batch["images_u8"].shape[0]
-    host_img_per_sec = round(n / (time.perf_counter() - t0), 1)
+    def host_once():
+        n = 0
+        t0 = time.perf_counter()
+        for batch in loader():
+            n += batch["images_u8"].shape[0]
+        return n / (time.perf_counter() - t0)
+
+    host_img_per_sec = round(repeat_median(host_once, "loader_host"), 1)
 
     params, batch_stats, opt_state = state
     # warmup (finalize_device_preproc compiles crop_normalize once)
@@ -752,13 +851,16 @@ def bench_loader(train_step, state):
     _ = float(loss)
 
     # placement-only rate: H2D + device preproc, forced resident per batch
-    n = 0
-    t0 = time.perf_counter()
-    for batch in loader():
-        images, ids, mask = place(batch)
-        np.asarray(images.ravel()[0])  # force the lazy tunnel transfer
-        n += int(ids.shape[0])
-    place_img_per_sec = round(n / (time.perf_counter() - t0), 1)
+    def place_once():
+        n = 0
+        t0 = time.perf_counter()
+        for batch in loader():
+            images, ids, mask = place(batch)
+            np.asarray(images.ravel()[0])  # force the lazy tunnel transfer
+            n += int(ids.shape[0])
+        return n / (time.perf_counter() - t0)
+
+    place_img_per_sec = round(repeat_median(place_once, "loader_place"), 1)
 
     def run_epoch(batches):
         nonlocal params, batch_stats, opt_state
@@ -773,15 +875,18 @@ def bench_loader(train_step, state):
         _ = float(loss)
         return round(n / (time.perf_counter() - t0), 3)
 
-    # best-of-2, interleaved: each epoch is only 8 batches, so a single host
-    # hiccup (GC, tunnel jitter, another process on the 1-core box) can swing
-    # an epoch rate by ~30% — enough to invert sync vs pipelined on one draw
-    sync_sps = pipe_sps = 0.0
-    for _ in range(2):
-        sync_sps = max(sync_sps, run_epoch(place(b) for b in loader()))
-        pipe_sps = max(
-            pipe_sps, run_epoch(iter(DevicePrefetch(loader(), place, depth=2)))
-        )
+    # median-of-3 per mode (was best-of-2): each epoch is only 8 batches, so
+    # a single host hiccup (GC, tunnel jitter, another process on the 1-core
+    # box) can swing an epoch rate by ~30% — enough to invert sync vs
+    # pipelined on one draw; the median + recorded spread makes the +X%
+    # overlap claim checkable instead of a coin flip
+    sync_sps = round(repeat_median(
+        lambda: run_epoch(place(b) for b in loader()), "loader_sync"
+    ), 3)
+    pipe_sps = round(repeat_median(
+        lambda: run_epoch(iter(DevicePrefetch(loader(), place, depth=2))),
+        "loader_pipelined",
+    ), 3)
     return {
         "loader_train_samples_per_sec_chip": pipe_sps,
         "loader_train_sync_samples_per_sec_chip": sync_sps,
@@ -848,10 +953,49 @@ def bench_scst(module, variables):
 
     Measures BOTH modes — strict on-policy (serial) and the opt-in
     ``overlap_rollout`` pipeline (host ROUGE-L overlapped with the next device
-    rollout; one-step-stale policy) — plus the serial mode's per-phase wall
-    split so the floor is attributed (rollout decode vs host rewards).
+    rollout; one-step-stale policy) — across a BATCH SWEEP (the interleaved
+    rollout runs 2x batch rows; per-iteration cost is dominated by lm-head
+    weight streaming + host rewards, both of which amortize with batch, so
+    the single-batch headline sat well off-peak — VERDICT r4). Headline =
+    peak of the sweep + its batch, like the decode sweep. The serial mode's
+    per-phase wall split is recorded at the peak batch (NOTE: ``grad_dispatch``
+    is dispatch wall only — execution is async and its tail is absorbed into
+    the next iteration's rollout readback).
     """
-    scst_batch = int(os.environ.get("BENCH_SCST_BATCH", 16))
+    if os.environ.get("BENCH_SCST_BATCH"):  # pin a single point (A/B use)
+        sweep = [int(os.environ["BENCH_SCST_BATCH"])]
+    else:
+        sweep = [int(b) for b in os.environ.get(
+            "BENCH_SCST_SWEEP", "16,32,64,128"
+        ).split(",")]
+    strict_sweep, overlap_sweep, splits = {}, {}, {}
+    for scst_batch in dict.fromkeys(sweep):
+        try:
+            strict, over, split = _bench_scst_point(module, variables, scst_batch)
+        except Exception as e:  # one bad point must not kill the bench
+            _mark(f"scst@{scst_batch} FAILED: {e!r}"[:400])
+            continue
+        strict_sweep[scst_batch] = strict
+        overlap_sweep[scst_batch] = over
+        splits[scst_batch] = split
+    if not strict_sweep:
+        raise RuntimeError("every scst sweep point failed")
+    peak_b = max(strict_sweep, key=strict_sweep.get)
+    peak_ob = max(overlap_sweep, key=overlap_sweep.get)
+    return {
+        "scst_samples_per_sec_chip": strict_sweep[peak_b],
+        "scst_peak_batch": peak_b,
+        "scst_sweep": {str(k): v for k, v in strict_sweep.items()},
+        "scst_split_ms": splits[peak_b],
+        "scst_overlap_samples_per_sec_chip": overlap_sweep[peak_ob],
+        "scst_overlap_peak_batch": peak_ob,
+        "scst_overlap_sweep": {str(k): v for k, v in overlap_sweep.items()},
+    }
+
+
+def _bench_scst_point(module, variables, scst_batch):
+    """One SCST sweep point: (strict samples/s, overlapped samples/s,
+    strict per-phase split ms)."""
     rng = np.random.default_rng(3)
     images = jnp.asarray(
         rng.normal(size=(scst_batch, IMAGE, IMAGE, 3)), jnp.float32
@@ -872,27 +1016,38 @@ def bench_scst(module, variables):
         # first call and the grad step only on the second
         for _ in range(2):
             state, loss, _ = model.train_iteration(trainor, state, batch, 5e-5)
+        if model._pending is not None:
+            state, loss, _ = model.finish_epoch(trainor, state, 5e-5)
         if loss is not None:
             float(loss)  # drain compile-step work before timing
         model.timing = {k: 0.0 for k in model.timing} | {"iters": 0}
         N = 6
-        t0 = time.perf_counter()
-        for _ in range(N):
-            state, loss, _ = model.train_iteration(trainor, state, batch, 5e-5)
-        if model._pending is not None:  # overlapped: flush the tail honestly
-            state, loss, _ = model.finish_epoch(trainor, state, 5e-5)
-        float(loss)  # force the last grad step (block_until_ready no-op on axon)
-        dt = (time.perf_counter() - t0) / N
-        out[f"{mode}_samples_per_sec_chip"] = round(scst_batch / dt, 3)
+
+        def run_once():
+            nonlocal state
+            t0 = time.perf_counter()
+            for _ in range(N):
+                state, loss, _ = model.train_iteration(
+                    trainor, state, batch, 5e-5
+                )
+            if model._pending is not None:  # overlapped: flush the tail
+                state, loss, _ = model.finish_epoch(trainor, state, 5e-5)
+            # force the last grad step (block_until_ready no-op on axon)
+            float(loss)
+            return N / (time.perf_counter() - t0)
+
+        iters_per_sec = repeat_median(run_once, f"{mode}@{scst_batch}")
+        out[mode] = round(scst_batch * iters_per_sec, 3)
         if not overlap:
             t = model.timing
             iters = max(1, t["iters"])
-            out["scst_split_ms"] = {
+            out["split"] = {
                 "rollout": round(1e3 * t["rollout_s"] / iters, 1),
                 "reward": round(1e3 * t["reward_s"] / iters, 1),
                 "grad_dispatch": round(1e3 * t["grad_s"] / iters, 1),
             }
-    return out
+        _mark(f"{mode}@{scst_batch}: {out[mode]} samples/s")
+    return out["scst"], out["scst_overlap"], out["split"]
 
 
 if __name__ == "__main__":

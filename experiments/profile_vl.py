@@ -62,15 +62,15 @@ def main():
     ))(jax.random.key(1))
     np.asarray(images[0, 0, 0])
 
-    np.asarray(generate(variables, images))  # compile
+    np.asarray(generate(variables, images)[0])  # compile
     t0 = time.perf_counter()
-    np.asarray(generate(variables, images))
+    np.asarray(generate(variables, images)[0])
     dt = time.perf_counter() - t0
     print(f"one batch: {dt * 1e3:.1f} ms ({batch / dt:.1f} rep/s, "
           f"prefix {n_prefix} tokens)")
 
     jax.profiler.start_trace(outdir)
-    np.asarray(generate(variables, images))
+    np.asarray(generate(variables, images)[0])
     jax.profiler.stop_trace()
     summarize(outdir)
 

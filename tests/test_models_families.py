@@ -431,3 +431,114 @@ def test_scst_chexbert_reward():
     assert len(rewards) == 1
     # exact-match over TOP5 labels: pair0 match, pair1 mismatch, pair2 match
     np.testing.assert_array_equal(rewards[0], [1.0, 0.0, 1.0])
+
+
+def test_overlap_rollout_staleness_tracks_serial():
+    """Behavioral A/B for the one-step-stale ``overlap_rollout`` pipeline
+    (VERDICT r4 #5): from identical inits, seeds, and a fixed toy batch, the
+    overlapped run's greedy-probe ROUGE-L trajectory must TRACK the strictly
+    on-policy run — the evidence that one policy-update of staleness does not
+    derail SCST training, which is what justifies ever flipping the flag."""
+    import types
+
+    import jax
+    import jax.numpy as jnp
+
+    from vilmedic_tpu.blocks.rl.scst import SCST
+    from vilmedic_tpu.blocks.transformer import TransformerConfig
+    from vilmedic_tpu.blocks.vision.visual_encoder import build_visual_encoder
+    from vilmedic_tpu.executors.train_state import TrainState, create_optimizer
+    from vilmedic_tpu.models.rrg import RRGModule
+    from vilmedic_tpu.models.scst_models import _SCSTBase
+
+    VOCAB, MAXLEN, B, LR, ITERS = 24, 10, 4, 5e-3, 24
+
+    class ToyTok:
+        vocab_size = VOCAB
+        cls_token_id, sep_token_id, pad_token_id = 0, 2, 1
+
+        def decode(self, row, skip_special_tokens=True,
+                   clean_up_tokenization_spaces=False):
+            return " ".join(f"w{int(t)}" for t in np.asarray(row) if int(t) > 2)
+
+    def build(overlap):
+        enc = build_visual_encoder(dict(TINY_VIT))
+        cfg = TransformerConfig(
+            vocab_size=VOCAB, add_cross_attention=True, **TINY_TRANSFORMER
+        )
+        module = RRGModule(enc=enc, dec_config=cfg)
+        model = _SCSTBase.__new__(_SCSTBase)
+        model.module = module
+        model.dec_config = cfg
+        model.model = types.SimpleNamespace(
+            encoder_inputs=lambda b: {"images": b["images"]},
+        )
+        model.scst = SCST(
+            tokenizer=ToyTok(), max_length=MAXLEN, bos_token_id=0,
+            eos_token_id=2, pad_token_id=1, scores="ROUGEL", top_k=5,
+        )
+        model._rollout_fn = model._grad_fn = None
+        model.overlap_rollout = overlap
+        model._pending = model._drain_pool = model._host_step = None
+        model.timing = {"rollout_s": 0.0, "reward_s": 0.0, "grad_s": 0.0,
+                        "iters": 0}
+        rng = np.random.default_rng(11)
+        images = jnp.asarray(rng.normal(size=(B, 32, 32, 3)), jnp.float32)
+        ids = np.tile(
+            np.array([0, 5, 6, 7, 8, 9, 2, 1, 1, 1], np.int32), (B, 1)
+        )
+        batch = {"images": images, "input_ids": ids,
+                 "attention_mask": (ids != 1).astype(np.int32)}
+        variables = module.init(
+            {"params": jax.random.key(3)}, images, ids[:, :2],
+            jnp.ones((B, 2), jnp.int32), train=False,
+        )
+        tx = create_optimizer("adamw", {"lr": LR})
+        state = TrainState(
+            step=jnp.asarray(0), params=variables["params"],
+            opt_state=tx.init(variables["params"]),
+            batch_stats=variables.get("batch_stats", {}),
+        )
+        trainor = types.SimpleNamespace(tx=tx, rng=jax.random.key(9))
+        return model, state, trainor, batch, ids
+
+    def probe(model, state, batch, refs):
+        """Greedy reward of the CURRENT policy on the fixed batch."""
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        greedy, _ = model._rollout_fn(
+            variables, {"images": batch["images"]}, jax.random.key(0)
+        )
+        r, _, _ = model.scst.get_reward(np.asarray(greedy), refs)
+        return float(np.mean(np.concatenate(r)))
+
+    def run(overlap):
+        model, state, trainor, batch, refs = build(overlap)
+        traj = []
+        for _ in range(ITERS):
+            state, loss, _ = model.train_iteration(trainor, state, batch, LR)
+            traj.append(probe(model, state, batch, refs))
+        if model._pending is not None:
+            state, loss, _ = model.finish_epoch(trainor, state, LR)
+            traj[-1] = probe(model, state, batch, refs)
+        return np.asarray(traj)
+
+    serial = run(False)
+    overlapped = run(True)
+    # same machinery, same seeds: iteration 1's rollout samples from the
+    # identical init policy, so early probes must agree almost exactly
+    assert abs(serial[0] - overlapped[1]) < 0.05, (serial[:3], overlapped[:3])
+    # trajectories track on the robust statistic: BOTH runs climb from the
+    # same start to a comparable best policy (the stale sampling does not
+    # derail training — it only delays the climb by its one-step lag). Peak
+    # reward is compared rather than the tail because this over-driven toy
+    # (fixed batch, lr 5e-3) collapses after its peak in BOTH modes, and the
+    # post-collapse phase is chaotic; measured trajectories (seeded,
+    # deterministic on CPU): serial peaks 0.615 by iter 8, overlapped reaches
+    # the same 0.615 by iter 18.
+    assert serial.max() > serial[0] + 0.1, serial.tolist()
+    assert overlapped.max() > overlapped[1] + 0.1, overlapped.tolist()
+    assert abs(serial.max() - overlapped.max()) < 0.15, (
+        serial.tolist(), overlapped.tolist()
+    )

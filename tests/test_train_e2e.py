@@ -394,3 +394,58 @@ def test_frozen_prefixes_optimizer_masking():
     p3, _ = gated_update(tx, params, st, grads, 1e-2, jnp.float32(np.nan))
     for a, b in zip(jax.tree.leaves(p3), jax.tree.leaves(params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_legacy_opt_state_migrates_into_multi_transform():
+    """Resume of a checkpoint saved BEFORE frozen_prefixes wrapped the
+    optimizer in optax.multi_transform (ADVICE r4): the legacy opt_state
+    holds the chain state directly under inner_state; restore must graft it
+    into the multi_transform trainable branch (frozen leaves pruned) instead
+    of raising — and carry the adam moments + counts through exactly."""
+    import jax
+    import jax.numpy as jnp
+    from flax import serialization
+
+    from vilmedic_tpu.executors.train_state import (
+        create_optimizer, gated_update, restore_opt_state,
+    )
+
+    params = {
+        "vision": {"w": jnp.ones((4,))},
+        "dec": {"w": jnp.full((2,), 2.0)},
+    }
+    # a legacy run: no freezing, a few real steps so moments are non-trivial
+    tx_old = create_optimizer("AdamW", {"lr": 1e-2})
+    st_old = tx_old.init(params)
+    grads = jax.tree.map(jnp.ones_like, params)
+    p = params
+    for _ in range(3):
+        p, st_old = gated_update(tx_old, p, st_old, grads, 1e-2, jnp.float32(1.0))
+    legacy_sd = serialization.to_state_dict(st_old)
+
+    # the resumed run: same model now freeze-configured
+    tx_new = create_optimizer("AdamW", {"lr": 1e-2}, None,
+                              frozen_prefixes=("vision",))
+    fresh = tx_new.init(p)
+    restored = restore_opt_state(fresh, legacy_sd)
+
+    new_sd = serialization.to_state_dict(restored)
+    chain = new_sd["inner_state"]["inner_states"]["trainable"]["inner_state"]
+    legacy_chain = legacy_sd["inner_state"]
+    # trainable moments + count carried through exactly
+    np.testing.assert_array_equal(
+        chain["0"]["0"]["mu"]["dec"]["w"], legacy_chain["0"]["0"]["mu"]["dec"]["w"]
+    )
+    np.testing.assert_array_equal(
+        chain["0"]["0"]["nu"]["dec"]["w"], legacy_chain["0"]["0"]["nu"]["dec"]["w"]
+    )
+    np.testing.assert_array_equal(chain["0"]["0"]["count"], legacy_chain["0"]["0"]["count"])
+    # and the restored state steps: frozen stays put, trainable moves
+    p2, _ = gated_update(tx_new, p, restored, grads, 1e-2, jnp.float32(1.0))
+    assert np.all(np.asarray(p2["vision"]["w"]) == np.asarray(p["vision"]["w"]))
+    assert np.any(np.asarray(p2["dec"]["w"]) != np.asarray(p["dec"]["w"]))
+
+    # new-layout checkpoints still round-trip unchanged
+    rt = restore_opt_state(fresh, serialization.to_state_dict(restored))
+    for a, b in zip(jax.tree.leaves(rt), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

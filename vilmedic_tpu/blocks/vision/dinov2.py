@@ -76,7 +76,9 @@ class DinoLayer(nn.Module):
         self.dropout = nn.Dropout(cfg.hidden_dropout_prob)
 
     def __call__(self, x, deterministic=True):
-        attn, _ = self.self_attn(self.ln_before(x))
+        # train= routes FLASH_MIN_LEN_TRAIN when the tower trains (freeze=False
+        # at 518px/14 -> T=1370 >= 512); inference keeps FLASH_MIN_LEN routing
+        attn, _ = self.self_attn(self.ln_before(x), train=not deterministic)
         x = x + self.dropout(attn, deterministic=deterministic) * self.ls1.astype(x.dtype)
         h = self.ffn(self.ln_after(x), deterministic=deterministic)
         return x + h * self.ls2.astype(x.dtype)

@@ -33,7 +33,11 @@ class ViTLayer(nn.Module):
         self.dropout = nn.Dropout(cfg.hidden_dropout_prob)
 
     def __call__(self, x, deterministic=True):
-        attn, _ = self.self_attn(self.ln_before(x))
+        # train= threads the FLASH_MIN_LEN_TRAIN routing through the attention
+        # (same as EncoderLayer/DecoderLayer): trainable pre-LN towers at
+        # 512 <= T < 1024 (e.g. 336px/16, 384px/14) otherwise keep the dense
+        # path in train and miss the measured fused-backward win (ADVICE r4)
+        attn, _ = self.self_attn(self.ln_before(x), train=not deterministic)
         x = x + self.dropout(attn, deterministic=deterministic)
         x = x + self.ffn(self.ln_after(x), deterministic=deterministic)
         return x

@@ -135,6 +135,55 @@ def create_optimizer(
     return optax.inject_hyperparams(factory)(learning_rate=base_lr)
 
 
+def _prune_to(template, sd):
+    """Intersect a serialized state dict with a template's key structure
+    (extra keys dropped; missing keys left for from_state_dict to report).
+    On structure mismatch the template wins: a frozen leaf's m/v slot is a
+    ``MaskedNode`` (serialized ``{}``) in the template but a real (all-zero)
+    array in a legacy checkpoint — the array is dropped, not restored."""
+    if not isinstance(template, dict):
+        return sd
+    if not isinstance(sd, dict):
+        return template
+    return {k: _prune_to(v, sd[k]) for k, v in template.items() if k in sd}
+
+
+def restore_opt_state(fresh_opt_state, state_dict):
+    """Shape-checked restore of a serialized optimizer state onto a freshly
+    ``tx.init``-ed one, migrating LEGACY layouts.
+
+    Freeze-configured models (``TaskModel.frozen_prefixes``, e.g.
+    VisionLanguage's frozen tower) wrap the optimizer in
+    ``optax.multi_transform``, which moves the chain state under
+    ``inner_state/inner_states/trainable/inner_state`` and drops the frozen
+    leaves' m/v slots. Checkpoints saved before that change hold the chain
+    state directly under ``inner_state`` — restoring them raises on every
+    resumed VL / frozen-encoder run (ADVICE r4). This grafts the legacy chain
+    state into the multi_transform trainable branch (frozen leaves pruned;
+    their legacy m/v were all-zero anyway — the params never stepped)."""
+    from flax import serialization
+
+    fresh_sd = serialization.to_state_dict(fresh_opt_state)
+    fi = fresh_sd.get("inner_state")
+    si = state_dict.get("inner_state")
+    legacy = (
+        isinstance(fi, dict) and "inner_states" in fi
+        and isinstance(si, dict) and "inner_states" not in si
+    )
+    if legacy:
+        branches = {}
+        for label, branch in fi["inner_states"].items():
+            if label == "trainable" and isinstance(branch, dict):
+                branches[label] = {
+                    **branch,
+                    "inner_state": _prune_to(branch.get("inner_state"), si),
+                }
+            else:
+                branches[label] = branch  # frozen: keep the fresh (empty) state
+        state_dict = {**state_dict, "inner_state": {"inner_states": branches}}
+    return serialization.from_state_dict(fresh_opt_state, state_dict)
+
+
 def gated_update(tx, params, opt_state, grads, lr, gate_loss):
     """One isfinite-gated optimizer update (shared by Trainor.train_step /
     apply_step and the SCST grad step): when ``gate_loss`` is non-finite the

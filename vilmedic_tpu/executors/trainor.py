@@ -147,9 +147,11 @@ class Trainor:
             batch_stats = jax.tree.map(jnp.array, batch_stats)
         opt_state = self.tx.init(params)
         if self.state_dict is not None and self.state_dict.get("opt_state"):
-            from .checkpoint import restore_into
+            from .train_state import restore_opt_state
 
-            opt_state = restore_into(opt_state, self.state_dict["opt_state"])
+            # migrates legacy (pre-multi_transform) checkpoints of
+            # freeze-configured models (ADVICE r4)
+            opt_state = restore_opt_state(opt_state, self.state_dict["opt_state"])
         self.state = replicate(
             TrainState(
                 step=jnp.asarray(0), params=params, opt_state=opt_state,

@@ -14,8 +14,8 @@ Differentiation: ``flash_attention`` carries a ``jax.custom_vjp`` whose
 backward is a pair of fused Pallas kernels (FlashAttention-2 recurrence: dq
 blocked over query rows; dk/dv/dbias blocked over key rows) — the (Tq, Tk)
 score matrix never hits HBM in EITHER pass. The forward saves the per-row
-log-sum-exp (LANE-replicated f32, the same stats layout
-``ops.beam_cache_attention`` uses) so the backward recomputes probabilities
+log-sum-exp (f32, replicated across one small sublane tile — see STATS_LANES)
+so the backward recomputes probabilities
 block-locally from q·kᵀ − lse. ``VILMEDIC_FLASH_BWD=xla`` falls back to the
 round-3 behavior (recompute the mathematically identical dense XLA attention
 and differentiate that) for A/B and as a safety hatch.
@@ -37,8 +37,14 @@ import jax.numpy as jnp
 import numpy as np
 
 NEG_INF = -1e9
-LANE = 128  # per-row stats (lse, delta) are replicated across one lane tile
-            # so stores/loads stay layout-friendly (no sublane<->lane transpose)
+LANE = 128
+# Per-row stats (lse, delta) are replicated across a SMALL lane tile so
+# stores/loads stay layout-friendly (no sublane<->lane transpose in the
+# kernels) without paying full 128-lane replication in HBM: at VL-518 train
+# shapes the (BH, Tq, 128) f32 residuals were ~75 MB each of pure HBM traffic
+# when only the VMEM-side view needs lane width (ADVICE r4). 8 lanes keeps the
+# HBM array 16x smaller; Mosaic pads the VMEM tile to the lane width itself.
+STATS_LANES = 8
 
 
 def _kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *maybe_lse, block_k: int,
@@ -94,7 +100,7 @@ def _kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *maybe_lse, block_k: int,
     o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
     if with_lse:
         lse = m + jnp.log(jnp.maximum(l, 1e-30))  # (bq, 1)
-        maybe_lse[0][0] = jnp.broadcast_to(lse, (bq, LANE))
+        maybe_lse[0][0] = jnp.broadcast_to(lse, (bq, STATS_LANES))
 
 
 @functools.partial(
@@ -107,7 +113,8 @@ def _flash_bhtd(q, k, v, bias, block_q=128, block_k=128, interpret=False,
     """q: (BH, Tq, D), k/v: (BH, Tk, D), bias: (BH, 1, Tk) additive.
 
     ``with_lse=True`` additionally returns the per-row log-sum-exp as
-    (BH, Tq, LANE) f32 (lane-replicated) — the backward kernels' residual."""
+    (BH, Tq, STATS_LANES) f32 (sublane-tile-replicated) — the backward
+    kernels' residual."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -124,9 +131,10 @@ def _flash_bhtd(q, k, v, bias, block_q=128, block_k=128, interpret=False,
                              memory_space=pltpu.VMEM)
     if with_lse:
         out_shape = [out_shape,
-                     jax.ShapeDtypeStruct((bh, tq, LANE), jnp.float32)]
+                     jax.ShapeDtypeStruct((bh, tq, STATS_LANES), jnp.float32)]
         out_specs = [out_specs,
-                     pl.BlockSpec((1, block_q, LANE), lambda b, i: (b, i, 0),
+                     pl.BlockSpec((1, block_q, STATS_LANES),
+                                  lambda b, i: (b, i, 0),
                                   memory_space=pltpu.VMEM)]
     return pl.pallas_call(
         functools.partial(_kernel, block_k=block_k, scale=scale,
@@ -321,7 +329,7 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref,
 def _flash_bwd_bhtd(q, k, v, bias, do, lse, delta, block_q, block_k,
                     interpret, causal, off):
     """(BH, T, D) backward: two pallas_calls (dq over q blocks; dk/dv/dbias
-    over k blocks). lse/delta are (BH, Tq, LANE) lane-replicated f32."""
+    over k blocks). lse/delta are (BH, Tq, STATS_LANES) tile-replicated f32."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -339,8 +347,8 @@ def _flash_bwd_bhtd(q, k, v, bias, do, lse, delta, block_q, block_k,
     q_full = vmem((1, tq, d), lambda b, i: (b, 0, 0))
     k_full = vmem((1, tk, d), lambda b, i: (b, 0, 0))
     k_blk = vmem((1, block_k, d), lambda b, i: (b, i, 0))
-    stats_blk = vmem((1, block_q, LANE), lambda b, i: (b, i, 0))
-    stats_full = vmem((1, tq, LANE), lambda b, i: (b, 0, 0))
+    stats_blk = vmem((1, block_q, STATS_LANES), lambda b, i: (b, i, 0))
+    stats_full = vmem((1, tq, STATS_LANES), lambda b, i: (b, 0, 0))
 
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, block_k=block_k, scale=scale,
@@ -390,7 +398,7 @@ def _flash_backward(q, k, v, keybias, out, lse, g, block_q, block_k,
     # Δ_i = Σ_d dO ⊙ O per row; padded rows (dO = 0) contribute 0
     delta = jnp.sum(do.astype(jnp.float32) * to_bhtd(outp).astype(jnp.float32),
                     axis=-1)                      # (BH, Tqp)
-    delta = jnp.broadcast_to(delta[..., None], (*delta.shape, LANE))
+    delta = jnp.broadcast_to(delta[..., None], (*delta.shape, STATS_LANES))
     dq, dk, dv, dbias = _flash_bwd_bhtd(
         qp, kp, vp, bias_bh, do, lse, delta,
         block_q=block_q, block_k=block_k, interpret=interpret, causal=causal,
