@@ -263,6 +263,9 @@ def build_vl(batch=None, vl_image=None, vl_patch=None, quantize_prefix=None,
         backbone="vit", permute="no_permute", hidden_size=768,
         num_hidden_layers=12, num_attention_heads=12, intermediate_size=3072,
         patch_size=vl_patch, image_size=vl_image, freeze=True, pre_ln=True,
+        # tanh GELU: same measured keep as the ViT fast path (exact erf over
+        # (B, T, 3072) x 12 is the priciest VPU transcendental; |delta|<1e-3)
+        hidden_act="gelu_tanh",
     )
     module = VisionLanguageModule(
         cfg=cfg, vision=build_visual_encoder(vision, dtype=jnp.bfloat16),
@@ -650,15 +653,36 @@ def main():
                 gen5, vars5, b5, im5
             )
             gen5_int8 = gen5.rebuild(True)
-            vl_fields["vl518_int8kv_reports_per_sec_chip_beam8"] = (
-                _time_vl_decode(gen5_int8, vars5, b5, im5)
-            )
+            int8_sweep = {16: _time_vl_decode(gen5_int8, vars5, b5, im5)}
             # the +19% throughput lever's quality trade, on the same model
             # and images (both programs already compiled above)
             vl_fields.update(_vl_int8_task_delta(gen5, gen5_int8, vars5, b5, im5))
             _mark(f"vl int8 task delta "
                   f"{vl_fields['vl518_int8kv_seq_agreement']} agree, "
                   f"|dscore| {vl_fields['vl518_int8kv_mean_abs_score_delta']}")
+            # batch sweep on the int8 operating point (r4 only ever pinned
+            # one-off session picks — VERDICT r4): weights + LM-head reads
+            # amortize with batch while the per-item prefix/cache reads are
+            # flat, so the peak can sit above 16. Headline = sweep peak.
+            for b_s in [int(x) for x in os.environ.get(
+                    "BENCH_VL518_SWEEP", "32").split(",") if x]:
+                try:
+                    _, vars_s, gen_s, _, _, _ = build_vl(
+                        batch=b_s, vl_image=518, vl_patch=14,
+                        quantize_prefix=True,
+                    )
+                    int8_sweep[b_s] = _time_vl_decode(gen_s, vars_s, b_s, im5)
+                    del vars_s, gen_s
+                except Exception as e:  # pragma: no cover - OOM guard
+                    _mark(f"vl518 int8 @{b_s} FAILED: {e!r}"[:300])
+            peak_b = max(int8_sweep, key=int8_sweep.get)
+            vl_fields["vl518_int8kv_reports_per_sec_chip_beam8"] = (
+                int8_sweep[peak_b]
+            )
+            vl_fields["vl518_int8kv_peak_batch"] = peak_b
+            vl_fields["vl518_int8kv_sweep"] = {
+                str(k): v for k, v in int8_sweep.items()
+            }
             # DINOv2-scale train point, LAST (donates vars5). Batch 8 is the
             # measured peak and batch scaling is flat; remat is a net loss
             # (experiments/ab_vl518_train.py: 67.8/65.3/66.0 sps at 8/16/32,

@@ -194,3 +194,46 @@ def test_pallas_backward_bias_grad(causal):
     g_ref = jax.grad(loss_ref)(keybias)
     np.testing.assert_allclose(np.asarray(g_flash), np.asarray(g_ref),
                                rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("h,d,causal,tq,tk", [
+    (4, 32, False, 128, 128),   # hpb=4, one lane block
+    (2, 64, True, 100, 130),    # hpb=2, padded shapes + offset diagonal
+    (12, 64, True, 96, 96),     # HP=6 (the production ViT/VL head layout)
+])
+def test_flash_v2_matches_v1_and_dense(h, d, causal, tq, tk, monkeypatch):
+    """The transpose-free head-packed v2 kernels must reproduce the v1 path
+    and the dense reference — forward AND grads (dq/dk/dv through the packed
+    dkv kernel, residuals in the (B, HP, Tq, hpb*STATS_LANES) layout)."""
+    from vilmedic_tpu.ops import flash_attention as fa
+
+    assert (h * d) % fa.LANE == 0 and fa.LANE % d == 0  # v2-eligible
+    rng = np.random.default_rng(5)
+    b = 2
+    q = jnp.asarray(rng.normal(size=(b, tq, h, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, tk, h, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, tk, h, d)), jnp.float32)
+    key_mask = jnp.asarray((np.arange(tk) < tk - 9)[None].repeat(b, 0),
+                           jnp.int32)
+    w = jnp.asarray(rng.normal(size=(b, tq, h, d)), jnp.float32)
+
+    def loss(q, k, v):
+        out = fa.flash_attention(q, k, v, key_mask=key_mask, block_q=64,
+                                 block_k=64, causal=causal)
+        return (out * w).sum(), out
+
+    monkeypatch.setenv("VILMEDIC_FLASH_IMPL", "v2")
+    (g2, o2) = jax.grad(loss, argnums=(0, 1, 2), has_aux=True)(q, k, v)
+    monkeypatch.setenv("VILMEDIC_FLASH_IMPL", "v1")
+    jax.clear_caches()
+    (g1, o1) = jax.grad(loss, argnums=(0, 1, 2), has_aux=True)(q, k, v)
+    bias = make_attention_bias(key_mask=key_mask)
+    dense = dot_product_attention(q, k, v, bias=bias, causal=causal)
+
+    np.testing.assert_allclose(np.asarray(o2), np.asarray(o1),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(o2), np.asarray(dense),
+                               rtol=2e-4, atol=2e-4)
+    for a, b_ in zip(g2, g1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-3, atol=2e-3)

@@ -110,6 +110,13 @@ def _kernel(idx_ref, kc_hbm, vc_hbm, q_ref, knew_ref, vnew_ref, bias_ref,
     # residency is therefore batch-INDEPENDENT — the pre-grid version held the
     # full (N, ·) operands and the whole flat ancestry mask in VMEM, which
     # overflowed scoped VMEM at batch 128 and degraded pipelining at batch 64.
+    #
+    # Loop order is CHUNK-major, head-pairs inner (r5): each slab DMA moves a
+    # (tchunk, rows, H*D) block — fully contiguous (rows*hd*2-byte runs)
+    # instead of the per-(chunk, head-pair) (tchunk, rows, 128) slices whose
+    # 128-lane stride of a 768-lane row made every HBM run 256 bytes (~45% of
+    # the achievable bandwidth, r4 trace). The per-head-pair online-softmax
+    # state persists across chunks in (n_blocks, rows2, ·) scratch.
     gi = pl.program_id(0)
     idx = idx_ref[0]
     scale = d ** -0.5
@@ -128,103 +135,98 @@ def _kernel(idx_ref, kc_hbm, vc_hbm, q_ref, knew_ref, vnew_ref, bias_ref,
     kst.start()
     vst.start()
 
-    def _chunk_copies(hp, tc, slot):
-        c0, t0 = hp * LANE, tc * tchunk
+    def _chunk_copies(tc, slot):
+        t0 = tc * tchunk
         return (
             pltpu.make_async_copy(
-                kc_hbm.at[t0:t0 + tchunk, gi, :, c0:c0 + LANE],
-                kbuf.at[slot, t0:t0 + tchunk], load_sems.at[slot, 0],
+                kc_hbm.at[t0:t0 + tchunk, gi],
+                kbuf.at[slot], load_sems.at[slot, 0],
             ),
             pltpu.make_async_copy(
-                vc_hbm.at[t0:t0 + tchunk, gi, :, c0:c0 + LANE],
-                vbuf.at[slot, t0:t0 + tchunk], load_sems.at[slot, 1],
+                vc_hbm.at[t0:t0 + tchunk, gi],
+                vbuf.at[slot], load_sems.at[slot, 1],
             ),
         )
 
-    def start_live(hp, slot):
-        for tc in range(n_chunks):
-            @pl.when(tc < n_live)
-            def _(hp=hp, tc=tc, slot=slot):
-                for c in _chunk_copies(hp, tc, slot):
-                    c.start()
+    def on_live(tc, fn):
+        @pl.when(tc < n_live)
+        def _():
+            fn()
 
-    def wait_live(hp, slot):
-        for tc in range(n_chunks):
-            @pl.when(tc < n_live)
-            def _(hp=hp, tc=tc, slot=slot):
-                for c in _chunk_copies(hp, tc, slot):
-                    c.wait()
-
-    start_live(0, 0)
     lane_iota = lax.broadcasted_iota(jnp.int32, (rows, LANE), 1)
     rows2 = hpb * rows
     ccols = tchunk * rows  # a 128-multiple — asserted in fused_beam_cache_attention
-    m_cols, l_cols = [], []  # per-head (rows, 1) softmax stats, lane order
+    masks = [
+        (lane_iota >= hi * d) & (lane_iota < (hi + 1) * d)
+        for hi in range(hpb)
+    ]
 
+    # per-head-pair packed operands + analytic current-step seeding: the
+    # lane-masked queries keep per-head contractions exact (the other head's
+    # lanes contribute exact zeros) and hpb*rows rows fill the MXU tile
+    q_dots = []
     for hp in range(n_blocks):
-        slot = hp % 2
-        if hp + 1 < n_blocks:
-            start_live(hp + 1, (hp + 1) % 2)
-        wait_live(hp, slot)
         c0 = hp * LANE
-
         q2 = q_ref[:, c0:c0 + LANE].astype(jnp.float32) * scale
         kn2 = knew_ref[:, c0:c0 + LANE].astype(jnp.float32)
         vn2 = vnew_ref[:, c0:c0 + LANE].astype(jnp.float32)
-
-        # Both heads of the pair ride ONE matmul as extra rows: lane-masked
-        # queries keep per-head contractions exact (the other head's lanes
-        # contribute exact zeros), and hpb*rows rows fill the MXU tile.
-        masks = [
-            (lane_iota >= hi * d) & (lane_iota < (hi + 1) * d)
-            for hi in range(hpb)
-        ]
         q_all = jnp.concatenate(
             [jnp.where(m_, q2, 0.0) for m_ in masks], axis=0
         )  # (rows2, LANE)
         kn_all = jnp.concatenate([kn2] * hpb, axis=0)
         vn_all = jnp.concatenate([vn2] * hpb, axis=0)
         s_cur = jnp.sum(q_all * kn_all, axis=-1, keepdims=True)
+        # online softmax seeded with the analytic current-step lane:
+        # m = s_cur, l = exp(0) = 1, acc = v_new
+        m_ref[hp] = s_cur
+        l_ref[hp] = jnp.ones((rows2, 1), jnp.float32)
+        acc_ref[hp] = vn_all
+        q_dots.append(q_all.astype(kbuf.dtype))
 
-        # online softmax over live chunks, seeded with the analytic
-        # current-step lane: m = s_cur, l = exp(0) = 1, acc = v_new
-        m_ref[:] = s_cur
-        l_ref[:] = jnp.ones((rows2, 1), jnp.float32)
-        acc_ref[:] = vn_all
+    on_live(0, lambda: [c.start() for c in _chunk_copies(0, 0)])
+    for tc in range(n_chunks):
+        slot = tc % 2
+        if tc + 1 < n_chunks:
+            on_live(tc + 1,
+                    lambda tc=tc: [c.start()
+                                   for c in _chunk_copies(tc + 1, (tc + 1) % 2)])
 
-        q_dot = q_all.astype(kbuf.dtype)
-        for tc in range(n_chunks):
-            @pl.when(tc < n_live)
-            def _(tc=tc, slot=slot):
-                kc_chunk = kbuf[slot, tc * tchunk:(tc + 1) * tchunk].reshape(
-                    ccols, LANE
-                )
-                vc_chunk = vbuf[slot, tc * tchunk:(tc + 1) * tchunk].reshape(
-                    ccols, LANE
-                )
+        @pl.when(tc < n_live)
+        def _(tc=tc, slot=slot):
+            for c in _chunk_copies(tc, slot):
+                c.wait()
+            # ancestry mask -> additive bias ONCE per chunk (shared by every
+            # head pair); kept lanes get exactly +0.0 ((1-1)*1e9)
+            b_ = (bias_ref[0, :, tc * ccols:(tc + 1) * ccols].astype(
+                jnp.float32
+            ) - 1.0) * (-NEG_INF)
+            b2 = jnp.concatenate([b_] * hpb, axis=0)  # (rows2, ccols)
+            for hp in range(n_blocks):
+                c0 = hp * LANE
+                kc_chunk = kbuf[slot, :, :, c0:c0 + LANE].reshape(ccols, LANE)
+                vc_chunk = vbuf[slot, :, :, c0:c0 + LANE].reshape(ccols, LANE)
                 s = lax.dot_general(
-                    q_dot, kc_chunk, (((1,), (1,)), ((), ())),
+                    q_dots[hp], kc_chunk, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )  # (rows2, ccols)
-                # bias_ref is the 0/1 ancestry mask; kept lanes get exactly
-                # +0.0 ((1-1)*1e9), the rest NEG_INF — value-preserving
-                b_ = (bias_ref[0, :, tc * ccols:(tc + 1) * ccols].astype(
-                    jnp.float32
-                ) - 1.0) * (-NEG_INF)
-                s = s + jnp.concatenate([b_] * hpb, axis=0)
-                m_old = m_ref[:]
+                s = s + b2
+                m_old = m_ref[hp]
                 m_new = jnp.maximum(m_old, jnp.max(s, axis=-1, keepdims=True))
                 alpha = jnp.exp(m_old - m_new)
                 p = jnp.exp(s - m_new)
-                l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-                acc_ref[:] = acc_ref[:] * alpha + lax.dot_general(
+                l_ref[hp] = l_ref[hp] * alpha + jnp.sum(
+                    p, axis=-1, keepdims=True)
+                acc_ref[hp] = acc_ref[hp] * alpha + lax.dot_general(
                     p.astype(vc_chunk.dtype), vc_chunk,
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
-                m_ref[:] = m_new
+                m_ref[hp] = m_new
 
-        oh = acc_ref[:] / l_ref[:]
+    m_cols, l_cols = [], []  # per-head (rows, 1) softmax stats, lane order
+    for hp in range(n_blocks):
+        c0 = hp * LANE
+        oh = acc_ref[hp] / l_ref[hp]
         # row block hi holds head hi's outputs — keep only its lanes
         out_pair = oh[(hpb - 1) * rows:rows2]
         for hi in range(hpb - 1):
@@ -234,8 +236,8 @@ def _kernel(idx_ref, kc_hbm, vc_hbm, q_ref, knew_ref, vnew_ref, bias_ref,
         o_ref[:, c0:c0 + LANE] = out_pair.astype(o_ref.dtype)
         if return_stats:
             for hi in range(hpb):
-                m_cols.append(m_ref[hi * rows:(hi + 1) * rows])
-                l_cols.append(l_ref[hi * rows:(hi + 1) * rows])
+                m_cols.append(m_ref[hp, hi * rows:(hi + 1) * rows])
+                l_cols.append(l_ref[hp, hi * rows:(hi + 1) * rows])
 
     if return_stats:
         # per-(row, head) softmax max / denominator, packed into one
@@ -329,10 +331,16 @@ def fused_beam_cache_attention(kc, vc, q, k_new, v_new, bias, index,
     assert LANE % d == 0 and hd % LANE == 0, (d, hd)
 
     # t-chunk: ~5 chunks when the bias lane slices stay 128-aligned
-    # (tchunk * rows % 128 == 0); degenerates to one whole-slab chunk
-    cands = [c for c in range(1, t + 1)
+    # (tchunk * rows % 128 == 0); degenerates to one whole-slab chunk.
+    # Chunk-major slabs hold (tchunk, rows, hd) per buffer — cap tchunk so
+    # the four slab buffers (k/v x double-buffer) stay within ~8 MB of the
+    # ~16 MB scoped VMEM.
+    slab_bytes = rows * hd * max(1, jnp.dtype(kc.dtype).itemsize) * 4
+    cap = max(1, (8 << 20) // slab_bytes)
+    legal = [c for c in range(1, t + 1)
              if t % c == 0 and (c * rows) % LANE == 0]
-    target = max(1, t // 5)
+    cands = [c for c in legal if c <= cap] or legal  # correctness over cap
+    target = min(max(1, t // 5), cap)
     tchunk = min(cands, key=lambda c: (abs(c - target), c)) if cands else t
     # the kernel reshapes each (tchunk, rows, LANE) slab chunk to
     # (tchunk*rows, LANE) and lane-slices the mask at tchunk*rows columns —
@@ -390,11 +398,14 @@ def fused_beam_cache_attention(kc, vc, q, k_new, v_new, bias, index,
         ],
         out_specs=out_specs,
         scratch_shapes=[
-            pltpu.VMEM((2, t, rows, LANE), kc.dtype),  # kbuf
-            pltpu.VMEM((2, t, rows, LANE), vc.dtype),  # vbuf
-            pltpu.VMEM((LANE // d * rows, 1), jnp.float32),  # m (online max)
-            pltpu.VMEM((LANE // d * rows, 1), jnp.float32),  # l (denominator)
-            pltpu.VMEM((LANE // d * rows, LANE), jnp.float32),  # acc
+            # chunk-major slabs: (tchunk, rows, hd) fully-contiguous DMAs,
+            # double-buffered; per-head-pair online state persists across
+            # chunks in the leading n_blocks dim
+            pltpu.VMEM((2, tchunk, rows, hd), kc.dtype),  # kbuf
+            pltpu.VMEM((2, tchunk, rows, hd), vc.dtype),  # vbuf
+            pltpu.VMEM((hd // LANE, LANE // d * rows, 1), jnp.float32),  # m
+            pltpu.VMEM((hd // LANE, LANE // d * rows, 1), jnp.float32),  # l
+            pltpu.VMEM((hd // LANE, LANE // d * rows, LANE), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 2)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
