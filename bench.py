@@ -293,6 +293,17 @@ def build_vl(batch=None, vl_image=None, vl_patch=None, quantize_prefix=None,
             cache = to_kernel_cache(tile_for_beams(cache, BEAM))
             blocked = make_blocked_head_weights(variables["params"], cfg.dtype)
 
+            from vilmedic_tpu.models.vision_language import maybe_fuse_prefix
+            from vilmedic_tpu.ops.beam_cache_attention import (
+                pick_ancestry_group,
+            )
+
+            anc_g = pick_ancestry_group(batch, BEAM, MAX_LEN)
+            assert anc_g is not None, (batch, BEAM, MAX_LEN)  # kernel-legal
+            # bf16 prefixes stream inside the fused kernel (joint online
+            # softmax, no XLA einsum/merge); int8 keeps the einsum + merge
+            prefix_kv = maybe_fuse_prefix(prefix_kv, anc_g, BEAM, p)
+
             def step_fn(tokens, cache, index, anc=None):
                 logits, new_cache = module.apply(
                     variables, tokens, cache, prefix_kv, index, p,
@@ -301,10 +312,6 @@ def build_vl(batch=None, vl_image=None, vl_patch=None, quantize_prefix=None,
                 )
                 return logits, new_cache
 
-            from vilmedic_tpu.ops.beam_cache_attention import pick_ancestry_group
-
-            anc_g = pick_ancestry_group(batch, BEAM, MAX_LEN)
-            assert anc_g is not None, (batch, BEAM, MAX_LEN)  # kernel-legal
             res = beam_search(
                 step_fn, cache, batch, BEAM, MAX_LEN, bos_id=0, eos_id=2,
                 pad_id=1, length_penalty=1.0, blocked_vocab=cfg.vocab_size,

@@ -139,6 +139,77 @@ def test_kernel_stats_enable_exact_segment_merge():
                 )
 
 
+def test_kernel_prefix_streaming_matches_numpy_oracle():
+    """prefix=(pk, pv, p_real, beams): the beam-SHARED prefix segment streams
+    through the kernel's own online softmax — the output must equal a joint
+    softmax over [prefix, ancestry-selected cache, current step] per row, and
+    the P_pad zero-padding must be dead (masked, not attended)."""
+    from vilmedic_tpu.ops.beam_cache_attention import pack_kernel_prefix
+
+    B, K, T, H, D = 4, 4, 10, 4, 32
+    N = B * K
+    P = 5
+    g = 2  # items per group
+    rng = np.random.default_rng(7)
+    idx = 6
+
+    kc = rng.normal(size=(T, N, H * D)).astype(np.float32)
+    vc = rng.normal(size=(T, N, H * D)).astype(np.float32)
+    q = rng.normal(size=(N, H, D)).astype(np.float32)
+    k_new = rng.normal(size=(N, H, D)).astype(np.float32)
+    v_new = rng.normal(size=(N, H, D)).astype(np.float32)
+    pk = rng.normal(size=(B, P, H, D)).astype(np.float32)
+    pv = rng.normal(size=(B, P, H, D)).astype(np.float32)
+
+    anc_idx = rng.integers(0, K, (B, K, T))
+    anc = np.zeros((B, K, K, T), np.float32)
+    for b in range(B):
+        for qq in range(K):
+            for t in range(idx):
+                anc[b, anc_idx[b, qq, t], qq, t] = 1.0
+
+    bias = make_ancestry_mask(jnp.asarray(anc), g=g)
+    pk_t, pv_t, p_real = pack_kernel_prefix(
+        jnp.asarray(pk), jnp.asarray(pv), group_items=g
+    )
+    assert p_real == P and pk_t.shape[0] % 2 == 0  # padded layout
+    out, kc2, vc2 = fused_beam_cache_attention(
+        jnp.asarray(kc), jnp.asarray(vc), jnp.asarray(q),
+        jnp.asarray(k_new), jnp.asarray(v_new), bias,
+        jnp.asarray(idx, jnp.int32), interpret=True,
+        prefix=(pk_t, pv_t, p_real, K),
+    )
+    out, kc2, vc2 = np.asarray(out), np.asarray(kc2), np.asarray(vc2)
+
+    scale = D ** -0.5
+    for b in range(B):
+        for qq in range(K):
+            n = b * K + qq
+            for h in range(H):
+                sel_k = np.stack(
+                    [pk[b, pp, h] for pp in range(P)]
+                    + [kc[t, b * K + anc_idx[b, qq, t], h * D:(h + 1) * D]
+                       for t in range(idx)] + [k_new[n, h]], 0)
+                sel_v = np.stack(
+                    [pv[b, pp, h] for pp in range(P)]
+                    + [vc[t, b * K + anc_idx[b, qq, t], h * D:(h + 1) * D]
+                       for t in range(idx)] + [v_new[n, h]], 0)
+                s = sel_k @ (q[n, h] * scale)
+                p = np.exp(s - s.max())
+                p /= p.sum()
+                np.testing.assert_allclose(
+                    out[n, h], p @ sel_v, rtol=1e-5, atol=1e-5
+                )
+
+    # cache writes unchanged by the prefix streaming
+    exp_kc = kc.copy()
+    exp_vc = vc.copy()
+    exp_kc[idx] = k_new.reshape(N, H * D)
+    exp_vc[idx] = v_new.reshape(N, H * D)
+    np.testing.assert_array_equal(kc2, exp_kc)
+    np.testing.assert_array_equal(vc2, exp_vc)
+
+
 def test_ensemble_generate_kernel_matches_permute(monkeypatch):
     """Two-member ensemble through make_generate_fn: the kernel-cache default
     path must reproduce the permute path (logit-sum semantics preserved)."""

@@ -153,7 +153,7 @@ def test_vl_kernel_cache_beam_parity():
     ids = jnp.asarray(rng.integers(3, vocab, (b, 4)), jnp.int32)
     variables = module.init(jax.random.key(0), images, ids, jnp.ones_like(ids))
 
-    def run(kernel, quantize=False):
+    def run(kernel, quantize=False, fused_prefix=False):
         cache0, prefix_kv, p = module.apply(
             variables, images, t, quantize_prefix=quantize,
             method=VisionLanguageModule.prefill,
@@ -161,6 +161,16 @@ def test_vl_kernel_cache_beam_parity():
         cache = tile_for_beams(cache0, k)
         if kernel:
             cache = to_kernel_cache(cache)
+        if fused_prefix:
+            from vilmedic_tpu.ops.beam_cache_attention import (
+                KernelPrefix, pack_kernel_prefix,
+            )
+
+            assert kernel and not quantize
+            prefix_kv = tuple(
+                KernelPrefix(*pack_kernel_prefix(pk, pv, 2), beams=k)
+                for pk, pv in prefix_kv
+            )
 
         def step_fn(tokens, cache, index, anc=None):
             logits, new_cache = module.apply(
@@ -176,6 +186,33 @@ def test_vl_kernel_cache_beam_parity():
         ).sequences)
 
     np.testing.assert_array_equal(run(False), run(True))
+    # fused-prefix route (KernelPrefix streamed inside the kernel's own
+    # online softmax — no XLA einsum, no merge) must emit the same beams
+    np.testing.assert_array_equal(run(False), run(True, fused_prefix=True))
+
+    # the env-gated helper: default OFF (measured -27% at the 518px target,
+    # experiments/ab_fused_prefix.py), opt-in packs KernelPrefix bundles,
+    # int8 4-tuples always keep the einsum+merge path
+    from vilmedic_tpu.models.vision_language import maybe_fuse_prefix
+    from vilmedic_tpu.ops.beam_cache_attention import KernelPrefix
+
+    _, bf16_kv, p = module.apply(
+        variables, images, t, method=VisionLanguageModule.prefill,
+    )
+    _, int8_kv, _ = module.apply(
+        variables, images, t, quantize_prefix=True,
+        method=VisionLanguageModule.prefill,
+    )
+    import os
+    os.environ.pop("VILMEDIC_FUSED_PREFIX", None)
+    assert maybe_fuse_prefix(bf16_kv, 2, k, p) is bf16_kv
+    os.environ["VILMEDIC_FUSED_PREFIX"] = "1"
+    try:
+        fused = maybe_fuse_prefix(bf16_kv, 2, k, p)
+        assert all(isinstance(f, KernelPrefix) for f in fused)
+        assert maybe_fuse_prefix(int8_kv, 2, k, p) is int8_kv
+    finally:
+        os.environ.pop("VILMEDIC_FUSED_PREFIX", None)
     # int8 prefix: kernel and permute routes consume the SAME quantized
     # operands, so their sequences must still match each other exactly
     np.testing.assert_array_equal(run(False, quantize=True), run(True, quantize=True))

@@ -331,6 +331,31 @@ class MultiHeadAttention(nn.Module):
         idx = decode_index.astype(jnp.int32)
         heads, d = cfg.num_attention_heads, cfg.head_dim
 
+        from ..ops.beam_cache_attention import (
+            KernelPrefix, fused_beam_cache_attention,
+        )
+
+        if isinstance(prefix_kv, KernelPrefix):
+            # packed prefix (P_pad, B, H*D): streamed through the fused
+            # kernel's own online softmax — prefix + generated cache +
+            # current step in ONE joint pass, no XLA-side prefix einsum,
+            # no merge, one custom call per layer per step
+            assert ancestry is not None and ancestry.ndim == 3
+            n = q.shape[0]
+            out, kc2, vc2 = fused_beam_cache_attention(
+                cache["k_tnf"], cache["v_tnf"],
+                q.reshape(n, heads, d),
+                k_new.reshape(n, heads, d),
+                v_new.reshape(n, heads, d),
+                ancestry, idx,
+                interpret=jax.default_backend() == "cpu",
+                prefix=(prefix_kv.pk, prefix_kv.pv, prefix_kv.p_real,
+                        prefix_kv.beams),
+            )
+            new_cache = {"k_tnf": kc2, "v_tnf": vc2}
+            out = out.astype(cfg.dtype).reshape(n, 1, cfg.hidden_size)
+            return self.o_proj(out), new_cache
+
         # prefix segment operands: either (pk, pv) bf16 or the int8-quantized
         # (pk_q, k_scale, pv_q, v_scale) from prefill(quantize_prefix=True) —
         # the per-(token, head) scales factor out of both einsums, so the
@@ -341,20 +366,36 @@ class MultiHeadAttention(nn.Module):
             pk, pv = prefix_kv
             k_scale = v_scale = None
 
+        # Prefix matmuls follow the STORED prefix dtype: bf16 (and int8,
+        # whose [-127, 127] values are exact in bf16's 8 mantissa bits) ride
+        # the MXU's native bf16 path with f32 accumulation — an f32 matmul
+        # is ~6x slower on TPU and cost ~0.5 ms/step at the DINOv2 518px
+        # shape before r5. f32-stored prefixes (f32-dtype configs, tests)
+        # keep exact f32 matmuls so decode == full-forward bit-for-bit.
+        mm_dtype = (
+            jnp.float32 if pk.dtype == jnp.float32 else jnp.bfloat16
+        )
+
         def _p_scores(qf):
-            # (B, H, fold, P) f32 prefix scores, scales applied post-matmul
-            sp = jnp.einsum("bqhd,bphd->bhqp", qf, pk.astype(jnp.float32))
+            # (B, H, fold, P) f32-accumulated prefix scores
+            sp = jnp.einsum(
+                "bqhd,bphd->bhqp", qf.astype(mm_dtype), pk.astype(mm_dtype),
+                preferred_element_type=jnp.float32,
+            )
             if k_scale is not None:
                 sp = sp * k_scale.transpose(0, 2, 1)[:, :, None, :]
             return sp
 
         def _p_values(weights, out_dtype):
-            # (B, fold, H, D) from (B, H, fold, P) weights
+            # (B, fold, H, D) from (B, H, fold, P) weights — same-dtype MXU
+            # matmul with f32 accumulation (same argument as _p_scores)
             if v_scale is not None:
                 weights = weights * v_scale.transpose(0, 2, 1)[:, :, None, :]
             return jnp.einsum(
-                "bhqp,bphd->bqhd", weights.astype(out_dtype), pv.astype(out_dtype)
-            )
+                "bhqp,bphd->bqhd", weights.astype(mm_dtype),
+                pv.astype(mm_dtype),
+                preferred_element_type=jnp.float32,
+            ).astype(out_dtype)
 
         if cache is not None and "k_tnf" in cache:
             assert ancestry is not None and ancestry.ndim == 3

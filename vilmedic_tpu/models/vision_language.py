@@ -240,6 +240,44 @@ def _pad_bias(bias, total_keys):
     return jnp.concatenate([bias, pad], axis=-1)
 
 
+def maybe_fuse_prefix(prefix_kv, anc_g, beam_width, prefix_len):
+    """Repack per-layer bf16 ``(pk, pv)`` prefix K/V into ``KernelPrefix``
+    bundles when the fused kernel can stream the beam-shared prefix INSIDE
+    its own online softmax (one joint pass over prefix + generated cache +
+    current step — no XLA prefix einsum, no stats merge). int8 4-tuples and
+    non-fusable shapes return unchanged (einsum + merge path).
+
+    MEASURED NEGATIVE at the DINOv2 target shape, so OFF by default
+    (``VILMEDIC_FUSED_PREFIX=1`` opts in): at 518px/14 batch 16 beam 8 the
+    fused route ran 40.7 vs the merge path's 55.6 rep/s (-27%,
+    experiments/ab_fused_prefix.py). The kernel's beam-folded column layout
+    makes prefix columns span all gB items of a group, so 7/8 of the score
+    matrix is cross-item-masked — 8x redundant MXU+VPU work per chunk that
+    outweighs the saved einsum/merge/custom-call overhead. Both paths read
+    the same prefix HBM bytes, and the einsum's MXU cost is trivial
+    (~0.3 GFLOP/layer/step), so fusion has no bandwidth advantage to offer.
+    Kept as an experiment; parity vs the merge path is oracle-tested in
+    interpret mode (bf16 kernel scores vs the einsum's f32 differ in ulps,
+    so TPU beam sequences may legitimately diverge on near-tied beams)."""
+    import os
+
+    from ..ops.beam_cache_attention import (
+        KernelPrefix, pack_kernel_prefix, prefix_fusable,
+    )
+
+    interp = jax.default_backend() == "cpu"
+    if (
+        len(prefix_kv[0]) == 2  # bf16 (pk, pv); int8 keeps the merge
+        and os.environ.get("VILMEDIC_FUSED_PREFIX", "0") == "1"
+        and (interp or prefix_fusable(beam_width, anc_g, prefix_len))
+    ):
+        return tuple(
+            KernelPrefix(*pack_kernel_prefix(pk, pv, anc_g), beams=beam_width)
+            for pk, pv in prefix_kv
+        )
+    return prefix_kv
+
+
 def vl_evaluation(models, config, dl, from_training=True, **kwargs) -> Dict[str, Any]:
     model = models[0]
     module = model.module
@@ -306,6 +344,9 @@ def vl_evaluation(models, config, dl, from_training=True, **kwargs) -> Dict[str,
             # un-permuted across beam reorders (ancestry folds the reorder
             # into the attention reads)
             cache = to_kernel_cache(cache)
+            prefix_kv = maybe_fuse_prefix(
+                prefix_kv, anc_g, beam_width, prefix_len
+            )
         # under shard_map the freshly-zeroed gen cache is "unvarying" while
         # the loop body makes it varying — promote it (evaluation_nlg _pvary)
         vary_axes = () if mesh is None else ("data",)

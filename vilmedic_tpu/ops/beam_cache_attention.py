@@ -92,12 +92,18 @@ def make_ancestry_mask(ancestry, g: int):
 
 
 def _kernel(idx_ref, kc_hbm, vc_hbm, q_ref, knew_ref, vnew_ref, bias_ref,
-            kc_out, vc_out, o_ref, *maybe_stats_refs,
-            rows: int, t: int, d: int, hd: int, tchunk: int,
-            return_stats: bool = False):
+            *rest, rows: int, t: int, d: int, hd: int, tchunk: int,
+            return_stats: bool = False, p_pad: int = 0, pchunk: int = 0,
+            p_real: int = 0, beams: int = 0):
+    has_prefix = p_pad > 0
+    if has_prefix:
+        pk_hbm, pv_hbm, rest = rest[0], rest[1], rest[2:]
+    kc_out, vc_out, o_ref, *maybe_stats_refs = rest
     if return_stats:
-        (mout_ref, lout_ref, kbuf, vbuf, m_ref, l_ref, acc_ref,
-         load_sems, store_sems) = maybe_stats_refs
+        mout_ref, lout_ref, *maybe_stats_refs = maybe_stats_refs
+    if has_prefix:
+        (kbuf, vbuf, pkbuf, pvbuf, m_ref, l_ref, acc_ref,
+         load_sems, pload_sems, store_sems) = maybe_stats_refs
     else:
         (kbuf, vbuf, m_ref, l_ref, acc_ref,
          load_sems, store_sems) = maybe_stats_refs
@@ -182,6 +188,77 @@ def _kernel(idx_ref, kc_hbm, vc_hbm, q_ref, knew_ref, vnew_ref, bias_ref,
         l_ref[hp] = jnp.ones((rows2, 1), jnp.float32)
         acc_ref[hp] = vn_all
         q_dots.append(q_all.astype(kbuf.dtype))
+
+    if has_prefix:
+        # ---- beam-shared prefix segment, streamed through the SAME online
+        # softmax state (r5): the decode loop's bandwidth floor at DINOv2
+        # prefix lengths is this re-read, previously a separate XLA einsum
+        # pass per layer per step whose output then merged with the kernel's
+        # stats. Fusing it here removes the merge, the (B, H, fold, P) f32
+        # score materialization, and one XLA<->custom-call boundary per
+        # layer per step. Prefix slabs are (pchunk, gB, hd) contiguous DMAs
+        # of the (P_pad, groups, gB, hd) HBM layout; each query row attends
+        # ONLY its own item's prefix (cross-item lanes masked), exactly the
+        # beam-fold of the old einsum.
+        gb = rows // beams
+        n_pchunks = p_pad // pchunk
+        pccols = pchunk * gb
+
+        def _pchunk_copies(pc, slot):
+            p0 = pc * pchunk
+            return (
+                pltpu.make_async_copy(
+                    pk_hbm.at[p0:p0 + pchunk, gi],
+                    pkbuf.at[slot], pload_sems.at[slot, 0],
+                ),
+                pltpu.make_async_copy(
+                    pv_hbm.at[p0:p0 + pchunk, gi],
+                    pvbuf.at[slot], pload_sems.at[slot, 1],
+                ),
+            )
+
+        # item-match mask, loop-invariant: col j belongs to item j % gB, row
+        # r2 (head-packed) to item (r2 % rows) // beams; the final chunk
+        # additionally masks the P_pad - P zero-padded key slots
+        col_item = lax.broadcasted_iota(jnp.int32, (rows2, pccols), 1) % gb
+        row_item = (lax.broadcasted_iota(jnp.int32, (rows2, pccols), 0)
+                    % rows) // beams
+        pmask = col_item == row_item
+        col_p = lax.broadcasted_iota(jnp.int32, (rows2, pccols), 1) // gb
+
+        for c in _pchunk_copies(0, 0):
+            c.start()
+        for pc in range(n_pchunks):
+            slot = pc % 2
+            if pc + 1 < n_pchunks:
+                for c in _pchunk_copies(pc + 1, (pc + 1) % 2):
+                    c.start()
+            for c in _pchunk_copies(pc, slot):
+                c.wait()
+            live = pmask
+            if (pc + 1) * pchunk > p_real:  # final (padded) chunk only
+                live = pmask & (pc * pchunk + col_p < p_real)
+            for hp in range(n_blocks):
+                c0 = hp * LANE
+                pk_c = pkbuf[slot, :, :, c0:c0 + LANE].reshape(pccols, LANE)
+                pv_c = pvbuf[slot, :, :, c0:c0 + LANE].reshape(pccols, LANE)
+                s = lax.dot_general(
+                    q_dots[hp], pk_c, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (rows2, pccols)
+                s = jnp.where(live, s, NEG_INF)
+                m_old = m_ref[hp]
+                m_new = jnp.maximum(m_old, jnp.max(s, axis=-1, keepdims=True))
+                alpha = jnp.exp(m_old - m_new)
+                p = jnp.exp(s - m_new)
+                l_ref[hp] = l_ref[hp] * alpha + jnp.sum(
+                    p, axis=-1, keepdims=True)
+                acc_ref[hp] = acc_ref[hp] * alpha + lax.dot_general(
+                    p.astype(pv_c.dtype), pv_c,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                m_ref[hp] = m_new
 
     on_live(0, lambda: [c.start() for c in _chunk_copies(0, 0)])
     for tc in range(n_chunks):
@@ -301,10 +378,69 @@ def pick_ancestry_group(batch_items: int, beam_width: int, t: int,
     return best
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "return_stats"))
-def fused_beam_cache_attention(kc, vc, q, k_new, v_new, bias, index,
-                               interpret: bool = False,
-                               return_stats: bool = False):
+def prefix_fusable(beam_width: int, group_items: int, prefix_len: int) -> bool:
+    """True iff the beam-shared prefix segment can stream INSIDE the fused
+    kernel (one joint online softmax, no XLA merge): the (P_pad, groups, gB,
+    hd) slab view must keep gB = group_items a sublane-tile multiple, and the
+    head-packed mask needs whole beams per item."""
+    return group_items % 8 == 0 and beam_width > 0 and prefix_len > 0
+
+
+@jax.tree_util.register_pytree_node_class
+class KernelPrefix:
+    """Beam-shared prefix K/V packed for in-kernel streaming.
+
+    Wraps :func:`pack_kernel_prefix`'s (P_pad, B, H*D) tensors plus the two
+    STATIC ints the kernel needs (`p_real`, `beams`) as pytree aux data, so
+    the bundle can ride through ``module.apply`` inside the jitted decode
+    loop without the ints becoming tracers. ``MultiHeadAttention.
+    prefix_decode`` dispatches on this type: a ``KernelPrefix`` streams
+    through the fused Pallas kernel's joint online softmax (no XLA merge);
+    plain ``(pk, pv)`` / int8 4-tuples keep the einsum + merge path.
+    """
+
+    def __init__(self, pk, pv, p_real: int, beams: int):
+        self.pk, self.pv = pk, pv
+        self.p_real, self.beams = p_real, beams
+
+    def tree_flatten(self):
+        return (self.pk, self.pv), (self.p_real, self.beams)
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(leaves[0], leaves[1], *aux)
+
+
+def pack_kernel_prefix(pk, pv, group_items: int):
+    """(B, P, H, D) beam-shared prefix K/V -> the fused kernel's
+    (P_pad, B, H*D) layout, padded so a legal pchunk exists (one transpose at
+    prefill time, amortized over the whole decode). Returns
+    ``(pk_t, pv_t, p_real)``; pass to :func:`fused_beam_cache_attention` as
+    ``prefix=(pk_t, pv_t, p_real)``."""
+    b, p, h, d = pk.shape
+    gb = group_items
+    # pccols = pchunk * gB must be a 128-multiple. Padding P to a 128-multiple
+    # lets the kernel stream ~128-token chunks (the VMEM sweet spot) with at
+    # most 127 dead key slots; below 128 tokens the whole prefix is one chunk
+    # padded to the minimal legal multiple.
+    step = LANE if p >= LANE else (LANE // int(np.gcd(gb, LANE)))
+    p_pad = -(-p // step) * step
+    pk_t = jnp.swapaxes(pk.reshape(b, p, h * d), 0, 1)
+    pv_t = jnp.swapaxes(pv.reshape(b, p, h * d), 0, 1)
+    if p_pad != p:
+        pad = ((0, p_pad - p), (0, 0), (0, 0))
+        pk_t = jnp.pad(pk_t, pad)
+        pv_t = jnp.pad(pv_t, pad)
+    return pk_t, pv_t, p
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("interpret", "return_stats", "p_real", "beams"),
+)
+def _fused_impl(kc, vc, q, k_new, v_new, bias, index, pk=None, pv=None,
+                p_real: int = 0, beams: int = 0, interpret: bool = False,
+                return_stats: bool = False):
     """One fused decode step of reorder-free beam self-attention.
 
     kc/vc: (T, N, H*D) caches (aliased: returned updated in place at
@@ -330,13 +466,36 @@ def fused_beam_cache_attention(kc, vc, q, k_new, v_new, bias, index,
     assert groups * rows == n and heads * d == hd
     assert LANE % d == 0 and hd % LANE == 0, (d, hd)
 
+    has_prefix = pk is not None
+    beams = int(beams)
+    if has_prefix:
+        assert beams > 0 and rows % beams == 0, (rows, beams)
+        gb = rows // beams
+        assert interpret or gb % 8 == 0, gb  # prefix_fusable
+        p_pad = pk.shape[0]
+        assert pk.shape == (p_pad, groups * gb, hd), (pk.shape, groups, gb)
+        # prefix chunk: largest divisor of P_pad near 128 whose (pchunk, gB,
+        # hd) double-buffered k+v slabs stay within ~6.5 MB of scoped VMEM
+        # and whose flattened lane slice stays 128-aligned
+        pslab_unit = gb * hd * max(1, jnp.dtype(pk.dtype).itemsize) * 4
+        pcap = max(1, (13 << 19) // pslab_unit)  # ~6.5 MB for the 4 slabs
+        plegal = [c for c in range(1, p_pad + 1)
+                  if p_pad % c == 0 and (c * gb) % LANE == 0]
+        if interpret and not plegal:
+            plegal = [c for c in range(1, p_pad + 1) if p_pad % c == 0]
+        pcands = [c for c in plegal if c <= min(pcap, LANE)] or plegal
+        pchunk = max(pcands) if pcands else p_pad
+        assert interpret or (pchunk * gb) % LANE == 0, (pchunk, gb)
+    else:
+        p_pad = pchunk = 0
+
     # t-chunk: ~5 chunks when the bias lane slices stay 128-aligned
     # (tchunk * rows % 128 == 0); degenerates to one whole-slab chunk.
     # Chunk-major slabs hold (tchunk, rows, hd) per buffer — cap tchunk so
     # the four slab buffers (k/v x double-buffer) stay within ~8 MB of the
-    # ~16 MB scoped VMEM.
+    # ~16 MB scoped VMEM (~4 MB when prefix slabs share the budget).
     slab_bytes = rows * hd * max(1, jnp.dtype(kc.dtype).itemsize) * 4
-    cap = max(1, (8 << 20) // slab_bytes)
+    cap = max(1, ((4 if has_prefix else 8) << 20) // slab_bytes)
     legal = [c for c in range(1, t + 1)
              if t % c == 0 and (c * rows) % LANE == 0]
     cands = [c for c in legal if c <= cap] or legal  # correctness over cap
@@ -355,7 +514,8 @@ def fused_beam_cache_attention(kc, vc, q, k_new, v_new, bias, index,
 
     kernel = functools.partial(
         _kernel, rows=rows, t=t, d=d, hd=hd, tchunk=tchunk,
-        return_stats=return_stats,
+        return_stats=return_stats, p_pad=p_pad, pchunk=pchunk,
+        p_real=int(p_real), beams=beams,
     )
     # under shard_map (the multi-device eval path) outputs must declare their
     # varying mesh axes; inherit them from the cache operand
@@ -385,30 +545,48 @@ def fused_beam_cache_attention(kc, vc, q, k_new, v_new, bias, index,
         # lanes real (lane dim must be a 128-multiple)
         out_shape += [_sds((n, LANE), jnp.float32)] * 2
         out_specs += [pl.BlockSpec((rows, LANE), _rowblk)] * 2
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),  # kc (T, G, rows, hd) in HBM
+        pl.BlockSpec(memory_space=pl.ANY),  # vc
+        pl.BlockSpec((rows, hd), _rowblk),  # q
+        pl.BlockSpec((rows, hd), _rowblk),  # k_new
+        pl.BlockSpec((rows, hd), _rowblk),  # v_new
+        pl.BlockSpec((1, rows, t * rows), lambda gi, idx: (gi, 0, 0)),  # bias
+    ]
+    scratch_shapes = [
+        # chunk-major slabs: (tchunk, rows, hd) fully-contiguous DMAs,
+        # double-buffered; per-head-pair online state persists across
+        # chunks in the leading n_blocks dim
+        pltpu.VMEM((2, tchunk, rows, hd), kc.dtype),  # kbuf
+        pltpu.VMEM((2, tchunk, rows, hd), vc.dtype),  # vbuf
+    ]
+    operands = [idx_arr, kc4, vc4, q.reshape(n, hd), k_new.reshape(n, hd),
+                v_new.reshape(n, hd), bias]
+    if has_prefix:
+        # prefix K/V stay in HBM as (P_pad, groups, gB, hd); slabs are
+        # double-buffered (pchunk, gB, hd) contiguous DMAs
+        in_specs += [pl.BlockSpec(memory_space=pl.ANY)] * 2
+        operands += [pk.reshape(p_pad, groups, gb, hd),
+                     pv.reshape(p_pad, groups, gb, hd)]
+        scratch_shapes += [
+            pltpu.VMEM((2, pchunk, gb, hd), pk.dtype),  # pkbuf
+            pltpu.VMEM((2, pchunk, gb, hd), pv.dtype),  # pvbuf
+        ]
+    scratch_shapes += [
+        pltpu.VMEM((hd // LANE, LANE // d * rows, 1), jnp.float32),  # m
+        pltpu.VMEM((hd // LANE, LANE // d * rows, 1), jnp.float32),  # l
+        pltpu.VMEM((hd // LANE, LANE // d * rows, LANE), jnp.float32),
+        pltpu.SemaphoreType.DMA((2, 2)),
+    ]
+    if has_prefix:
+        scratch_shapes += [pltpu.SemaphoreType.DMA((2, 2))]  # pload_sems
+    scratch_shapes += [pltpu.SemaphoreType.DMA((2,))]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(groups,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # kc (T, G, rows, hd) in HBM
-            pl.BlockSpec(memory_space=pl.ANY),  # vc
-            pl.BlockSpec((rows, hd), _rowblk),  # q
-            pl.BlockSpec((rows, hd), _rowblk),  # k_new
-            pl.BlockSpec((rows, hd), _rowblk),  # v_new
-            pl.BlockSpec((1, rows, t * rows), lambda gi, idx: (gi, 0, 0)),  # bias
-        ],
+        in_specs=in_specs,
         out_specs=out_specs,
-        scratch_shapes=[
-            # chunk-major slabs: (tchunk, rows, hd) fully-contiguous DMAs,
-            # double-buffered; per-head-pair online state persists across
-            # chunks in the leading n_blocks dim
-            pltpu.VMEM((2, tchunk, rows, hd), kc.dtype),  # kbuf
-            pltpu.VMEM((2, tchunk, rows, hd), vc.dtype),  # vbuf
-            pltpu.VMEM((hd // LANE, LANE // d * rows, 1), jnp.float32),  # m
-            pltpu.VMEM((hd // LANE, LANE // d * rows, 1), jnp.float32),  # l
-            pltpu.VMEM((hd // LANE, LANE // d * rows, LANE), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 2)),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=scratch_shapes,
     )
     results = pl.pallas_call(
         kernel,
@@ -416,8 +594,7 @@ def fused_beam_cache_attention(kc, vc, q, k_new, v_new, bias, index,
         out_shape=out_shape,
         input_output_aliases={1: 0, 2: 1},  # kc->kc_out, vc->vc_out
         interpret=interpret,
-    )(idx_arr, kc4, vc4, q.reshape(n, hd), k_new.reshape(n, hd),
-      v_new.reshape(n, hd), bias)
+    )(*operands)
     kc_out, vc_out, out = results[:3]
     outs = (out.reshape(n, heads, d), kc_out.reshape(t, n, hd),
             vc_out.reshape(t, n, hd))
@@ -425,3 +602,25 @@ def fused_beam_cache_attention(kc, vc, q, k_new, v_new, bias, index,
         m_out, l_out = results[3], results[4]
         outs = outs + (m_out[:, :heads], l_out[:, :heads])
     return outs
+
+
+def fused_beam_cache_attention(kc, vc, q, k_new, v_new, bias, index,
+                               interpret: bool = False,
+                               return_stats: bool = False,
+                               prefix=None):
+    """Public entry — see :func:`_fused_impl` for semantics.
+
+    ``prefix=(pk, pv, p_real, beams)`` (from :func:`pack_kernel_prefix` +
+    the beam width) additionally streams a beam-SHARED prefix K/V segment
+    through the same online softmax INSIDE the kernel: the returned ``out``
+    (and ``m``/``l`` stats, if requested) then cover prefix + cache + current
+    step jointly, so the caller needs no separate prefix pass or merge. Each
+    query row attends only its own item's prefix — exactly the beam-fold of
+    the prefix-LM's XLA einsum path (``MultiHeadAttention.prefix_decode``)."""
+    if prefix is None:
+        return _fused_impl(kc, vc, q, k_new, v_new, bias, index,
+                           interpret=interpret, return_stats=return_stats)
+    pk, pv, p_real, beams = prefix
+    return _fused_impl(kc, vc, q, k_new, v_new, bias, index, pk, pv,
+                       p_real=int(p_real), beams=int(beams),
+                       interpret=interpret, return_stats=return_stats)
