@@ -361,10 +361,20 @@ def kernel_rows_ok(rows: int, t: int, interpret: bool = False) -> bool:
 
 def pick_ancestry_group(batch_items: int, beam_width: int, t: int,
                         interpret=None):
-    """Biggest divisor ``g`` of ``batch_items`` whose ``g * beam_width``-row
-    slab is legal for the fused kernel (:func:`kernel_rows_ok`), or None when
-    no group size is legal — callers must then fall back to the cache-permute
+    """Divisor ``g`` of ``batch_items`` whose ``g * beam_width``-row slab is
+    legal for the fused kernel (:func:`kernel_rows_ok`), or None when no group
+    size is legal — callers must then fall back to the cache-permute
     beam-search path instead of tracing the kernel.
+
+    Among legal sizes the policy prefers the biggest ``g`` with ``rows <= 32``
+    over a full 64-row slab: the score/softmax work is quadratic in rows at
+    fixed cache traffic (cross-item lanes are masked redundancy), so 32-row
+    slabs halve the VPU+MXU cost per chunk while the DMA bytes are identical,
+    and more grid steps pipeline better at small batch. Measured
+    (experiments/ab_ancestry_group.py, v5e): VL-518 decode 66.0 -> 67.6 rep/s
+    (+2.4%) at batch 16, and a dead tie (553.5 vs 553.2, spread 0.2%) at the
+    RRG batch-128 point — rows 32 is never worse. Falls back to the biggest
+    legal ``g`` when no ``rows <= 32`` divisor is legal (e.g. beam_width > 32).
 
     ``interpret`` defaults to the same backend test the kernel call sites use
     (CPU -> pallas interpret mode, where Mosaic tiling rules don't apply).
@@ -372,10 +382,13 @@ def pick_ancestry_group(batch_items: int, beam_width: int, t: int,
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     best = None
+    best_small = None
     for g in range(1, batch_items + 1):
         if batch_items % g == 0 and kernel_rows_ok(g * beam_width, t, interpret):
             best = g
-    return best
+            if g * beam_width <= 32:
+                best_small = g
+    return best_small if best_small is not None else best
 
 
 def prefix_fusable(beam_width: int, group_items: int, prefix_len: int) -> bool:
