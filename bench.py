@@ -283,26 +283,37 @@ def build_vl(batch=None, vl_image=None, vl_patch=None, quantize_prefix=None,
     if quantize_prefix is None:
         quantize_prefix = bool(os.environ.get("BENCH_VL_INT8"))
 
-    def make_generate(quantize_prefix):
+    def make_generate(quantize_prefix, quantize_gen=None):
+        if quantize_gen is None:
+            quantize_gen = bool(os.environ.get("BENCH_VL_INT8_GEN"))
+
         @jax.jit
         def generate(variables, images):
             cache, prefix_kv, p = module.apply(
                 variables, images, MAX_LEN, quantize_prefix=quantize_prefix,
                 method=VisionLanguageModule.prefill,
             )
-            cache = to_kernel_cache(tile_for_beams(cache, BEAM))
-            blocked = make_blocked_head_weights(variables["params"], cfg.dtype)
-
-            from vilmedic_tpu.models.vision_language import maybe_fuse_prefix
+            from vilmedic_tpu.models.vision_language import (
+                derive_gen_kv_scales, maybe_fuse_prefix,
+            )
             from vilmedic_tpu.ops.beam_cache_attention import (
                 pick_ancestry_group,
             )
+
+            gen_scales = (
+                derive_gen_kv_scales(prefix_kv) if quantize_gen else None
+            )
+            cache = to_kernel_cache(
+                tile_for_beams(cache, BEAM), scales=gen_scales
+            )
+            blocked = make_blocked_head_weights(variables["params"], cfg.dtype)
 
             anc_g = pick_ancestry_group(batch, BEAM, MAX_LEN)
             assert anc_g is not None, (batch, BEAM, MAX_LEN)  # kernel-legal
             # bf16 prefixes stream inside the fused kernel (joint online
             # softmax, no XLA einsum/merge); int8 keeps the einsum + merge
-            prefix_kv = maybe_fuse_prefix(prefix_kv, anc_g, BEAM, p)
+            if gen_scales is None:
+                prefix_kv = maybe_fuse_prefix(prefix_kv, anc_g, BEAM, p)
 
             def step_fn(tokens, cache, index, anc=None):
                 logits, new_cache = module.apply(
@@ -667,6 +678,25 @@ def main():
             _mark(f"vl int8 task delta "
                   f"{vl_fields['vl518_int8kv_seq_agreement']} agree, "
                   f"|dscore| {vl_fields['vl518_int8kv_mean_abs_score_delta']}")
+            # int8 GENERATED cache stacked on the int8 prefix (r5): halves
+            # the fused kernel's slab reads — the other half of the decode
+            # loop's HBM floor. Same task-level quality recording vs exact.
+            try:
+                gen5_both = gen5.rebuild(True, True)
+                vl_fields["vl518_int8both_reports_per_sec_chip_beam8"] = (
+                    _time_vl_decode(gen5_both, vars5, b5, im5)
+                )
+                d_both = _vl_int8_task_delta(gen5, gen5_both, vars5, b5, im5)
+                vl_fields["vl518_int8both_seq_agreement"] = d_both[
+                    "vl518_int8kv_seq_agreement"]
+                vl_fields["vl518_int8both_mean_abs_score_delta"] = d_both[
+                    "vl518_int8kv_mean_abs_score_delta"]
+                _mark(f"vl int8both task delta "
+                      f"{vl_fields['vl518_int8both_seq_agreement']} agree, "
+                      f"|dscore| "
+                      f"{vl_fields['vl518_int8both_mean_abs_score_delta']}")
+            except Exception as e:  # pragma: no cover - keep the A/B alive
+                _mark(f"vl518 int8both FAILED: {e!r}"[:300])
             # batch sweep on the int8 operating point (r4 only ever pinned
             # one-off session picks — VERDICT r4): weights + LM-head reads
             # amortize with batch while the per-item prefix/cache reads are

@@ -410,3 +410,80 @@ def test_generate_falls_back_when_no_legal_group(monkeypatch):
     )
     seq_fb = np.asarray(fb([variables], enc_inputs))
     np.testing.assert_array_equal(seq_plain, seq_fb)
+
+
+def test_kernel_int8_cache_matches_quantized_oracle():
+    """kv_scales switches the generated cache to int8 (per-lane static
+    scales): over MULTIPLE consecutive steps the kernel must (a) write this
+    step's K/V quantized with round-to-nearest + saturation, and (b) produce
+    attention outputs equal to a numpy oracle that reads the same
+    dequantized cache — the current step's own lane stays exact (analytic,
+    never read back through the cache)."""
+    B, K, T, H, D = 4, 4, 12, 4, 32
+    N = B * K
+    HD = H * D
+    rng = np.random.default_rng(3)
+
+    ks = (rng.uniform(0.5, 2.0, HD) / 127.0).astype(np.float32)
+    vs = (rng.uniform(0.5, 2.0, HD) / 127.0).astype(np.float32)
+    scales = jnp.asarray(np.stack([ks, vs]))
+
+    def quant(x, s):
+        return np.clip(np.round(x / s), -127, 127).astype(np.int8)
+
+    start = 5
+    kc8 = quant(rng.normal(size=(T, N, HD)).astype(np.float32) * 0.02, ks)
+    vc8 = quant(rng.normal(size=(T, N, HD)).astype(np.float32) * 0.02, vs)
+    kc8[start:] = 0
+    vc8[start:] = 0
+
+    kcj, vcj = jnp.asarray(kc8), jnp.asarray(vc8)
+    for step in range(3):
+        idx = start + step
+        q = rng.normal(size=(N, H, D)).astype(np.float32) * 0.05
+        k_new = rng.normal(size=(N, H, D)).astype(np.float32) * 0.05
+        v_new = rng.normal(size=(N, H, D)).astype(np.float32) * 0.05
+
+        anc_idx = rng.integers(0, K, (B, K, T))
+        anc = np.zeros((B, K, K, T), np.float32)
+        for b in range(B):
+            for qq in range(K):
+                for t in range(idx):
+                    anc[b, anc_idx[b, qq, t], qq, t] = 1.0
+
+        bias = make_ancestry_mask(jnp.asarray(anc), g=2)
+        out, kcj, vcj = fused_beam_cache_attention(
+            kcj, vcj, jnp.asarray(q), jnp.asarray(k_new),
+            jnp.asarray(v_new), bias, jnp.asarray(idx, jnp.int32),
+            interpret=True, kv_scales=scales,
+        )
+        assert kcj.dtype == jnp.int8 and vcj.dtype == jnp.int8
+        out = np.asarray(out)
+
+        # (a) in-place write is the quantized projection of this step's K/V
+        kc8[idx] = quant(k_new.reshape(N, HD), ks)
+        vc8[idx] = quant(v_new.reshape(N, HD), vs)
+        np.testing.assert_array_equal(np.asarray(kcj), kc8)
+        np.testing.assert_array_equal(np.asarray(vcj), vc8)
+
+        # (b) outputs equal the dequantized-cache oracle
+        kdeq = kc8.astype(np.float32) * ks
+        vdeq = vc8.astype(np.float32) * vs
+        scale = D ** -0.5
+        for b in range(B):
+            for qq in range(K):
+                n = b * K + qq
+                for h in range(H):
+                    sl = slice(h * D, (h + 1) * D)
+                    sel_k = np.stack(
+                        [kdeq[t, b * K + anc_idx[b, qq, t], sl]
+                         for t in range(idx)] + [k_new[n, h]], 0)
+                    sel_v = np.stack(
+                        [vdeq[t, b * K + anc_idx[b, qq, t], sl]
+                         for t in range(idx)] + [v_new[n, h]], 0)
+                    s = sel_k @ (q[n, h] * scale)
+                    p = np.exp(s - s.max())
+                    p /= p.sum()
+                    np.testing.assert_allclose(
+                        out[n, h], p @ sel_v, rtol=2e-4, atol=2e-5,
+                    )

@@ -469,3 +469,85 @@ def test_gradient_checkpointing_vl_forward():
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b_), rtol=2e-4, atol=2e-5
             )
+
+
+def test_int8_gen_cache_beam_decode_close_to_exact():
+    """gen_kv_dtype int8 plumbing (derive_gen_kv_scales + to_kernel_cache
+    scales + the fused kernel's quantized write/read): the int8-generated
+    beam decode must track the exact kernel route closely — the kernel-level
+    numerics are oracle-locked in test_fused_beam_kernel; this locks the
+    wiring (scale derivation from both prefill formats, cache dtype, scale
+    leaf carried through the decode loop)."""
+    from vilmedic_tpu.blocks.transformer import TransformerConfig, to_kernel_cache
+    from vilmedic_tpu.blocks.vision.visual_encoder import build_visual_encoder
+    from vilmedic_tpu.decoding import beam_search, tile_for_beams
+    from vilmedic_tpu.models.vision_language import (
+        VisionLanguageModule,
+        derive_gen_kv_scales,
+    )
+
+    vocab, k = 60, 4
+    cfg = TransformerConfig(
+        vocab_size=vocab, hidden_size=128, num_hidden_layers=2,
+        num_attention_heads=2,  # head_dim 64: kernel-capable
+        intermediate_size=64, max_position_embeddings=64,
+        hidden_dropout_prob=0.0,
+    )
+    module = VisionLanguageModule(
+        cfg=cfg, vision=build_visual_encoder(dict(
+            TINY_VISION, hidden_size=128, num_attention_heads=2
+        )), num_image_tokens=6,
+    )
+    b, t = 2, 8
+    rng = np.random.default_rng(11)
+    images = jnp.asarray(rng.normal(size=(b, 32, 32, 3)), jnp.float32)
+    ids = jnp.asarray(rng.integers(3, vocab, (b, 4)), jnp.int32)
+    variables = module.init(jax.random.key(0), images, ids, jnp.ones_like(ids))
+
+    # scale derivation accepts both prefill formats and (near-)agrees:
+    # the int8 prefix's own quantization perturbs the maxima by <= 1 step
+    _, bf16_kv, _ = module.apply(
+        variables, images, t, method=VisionLanguageModule.prefill)
+    _, int8_kv, _ = module.apply(
+        variables, images, t, quantize_prefix=True,
+        method=VisionLanguageModule.prefill)
+    sc_a = derive_gen_kv_scales(bf16_kv)
+    sc_b = derive_gen_kv_scales(int8_kv)
+    for a, bb in zip(sc_a, sc_b):
+        assert a.shape == (2, 128) and bb.shape == (2, 128)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(bb), rtol=0.02, atol=1e-6)
+
+    def run(quantize_gen):
+        cache, prefix_kv, p = module.apply(
+            variables, images, t, method=VisionLanguageModule.prefill,
+        )
+        scales = derive_gen_kv_scales(prefix_kv) if quantize_gen else None
+        cache = tile_for_beams(cache, k)
+        cache = to_kernel_cache(cache, scales=scales)
+        if quantize_gen:
+            assert cache[0]["self_k_tnf"].dtype == jnp.int8
+            assert cache[0]["self_kv_sc"].shape == (2, 128)
+
+        def step_fn(tokens, cache, index, anc=None):
+            logits, new_cache = module.apply(
+                variables, tokens, cache, prefix_kv, index, p,
+                ancestry=anc, method=VisionLanguageModule.decode_step,
+            )
+            return logits[:, -1].astype(jnp.float32), new_cache
+
+        res = beam_search(
+            step_fn, cache, b, k, t, bos_id=0, eos_id=2, pad_id=1,
+            length_penalty=1.0, ancestry=True, ancestry_group_items=2,
+        )
+        return np.asarray(res.sequences), np.asarray(res.scores)
+
+    seq_exact, score_exact = run(False)
+    seq_q, score_q = run(True)
+    # int8 cache rounding perturbs scores slightly, never wildly; beams of a
+    # tiny random model may legitimately flip on near-ties, so assert
+    # closeness, not equality
+    assert np.max(np.abs(score_exact - score_q)) < 0.05, (
+        score_exact, score_q)
+    agree = float(np.mean(seq_exact == seq_q))
+    assert agree >= 0.8, (agree, seq_exact, seq_q)

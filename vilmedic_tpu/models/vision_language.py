@@ -208,6 +208,8 @@ class VisionLanguageModule(nn.Module):
         for layer, lc, pkv in zip(self.layers, cache, prefix_kv):
             if kernel_cache:
                 cache_in = {"k_tnf": lc["self_k_tnf"], "v_tnf": lc["self_v_tnf"]}
+                if "self_kv_sc" in lc:  # int8 generated cache (per-lane scales)
+                    cache_in["kv_sc"] = lc["self_kv_sc"]
             else:
                 cache_in = {"k": lc["self_k"], "v": lc["self_v"]}
             h, new_self = layer(
@@ -215,8 +217,11 @@ class VisionLanguageModule(nn.Module):
                 decode_index=index, prefix_kv=pkv, ancestry=ancestry,
             )
             if kernel_cache:
-                new_cache.append({"self_k_tnf": new_self["k_tnf"],
-                                  "self_v_tnf": new_self["v_tnf"]})
+                entry = {"self_k_tnf": new_self["k_tnf"],
+                         "self_v_tnf": new_self["v_tnf"]}
+                if "kv_sc" in new_self:
+                    entry["self_kv_sc"] = new_self["kv_sc"]
+                new_cache.append(entry)
             else:
                 new_cache.append({"self_k": new_self["k"], "self_v": new_self["v"]})
         if blocked_head is not None:
@@ -238,6 +243,44 @@ def _pad_bias(bias, total_keys):
     p = bias.shape[-1]
     pad = jnp.full(bias.shape[:-1] + (total_keys - p,), NEG_INF, bias.dtype)
     return jnp.concatenate([bias, pad], axis=-1)
+
+
+def derive_gen_kv_scales(prefix_kvs, margin: float = 1.25):
+    """Per-layer (2, H*D) f32 per-lane scales for the int8 GENERATED cache
+    (``gen_kv_dtype: int8``), derived from the prefix K/V statistics.
+
+    The generated-segment cache needs a scale that is FIXED across decode
+    steps (past entries must dequantize consistently), known before the
+    first write, and cheap to apply in the fused kernel. Per-lane (= per
+    head-channel) scales satisfy all three: the K scale folds into the query
+    (it multiplies the contracted dim) and the V scale factors out of the
+    output lanes — zero per-chunk kernel cost (ops/beam_cache_attention).
+    The prefix tokens went through the SAME K/V projections as the generated
+    text tokens will, so their per-channel maxima are the best available
+    zero-cost estimate; ``margin`` headroom absorbs text tokens running
+    hotter than image tokens, and the kernel's saturating clip bounds the
+    error for any channel that still overshoots. Accepts both prefill
+    formats: bf16 ``(pk, pv)`` and int8 ``(pk_q, k_sc, pv_q, v_sc)``
+    4-tuples (per-(token, head) scales, ``blocks.transformer.quantize_kv``).
+    """
+    def _amax_lanes(x, sc=None):
+        xf = jnp.abs(x.astype(jnp.float32))
+        if sc is not None:  # int8 prefix: |x| = |q| * scale[..., None]
+            xf = xf * sc.astype(jnp.float32)[..., None]
+        b, s, h, d = xf.shape
+        return jnp.max(xf, axis=(0, 1)).reshape(h * d)
+
+    out = []
+    for pkv in prefix_kvs:
+        if len(pkv) == 4:
+            pk_q, k_sc, pv_q, v_sc = pkv
+            ka, va = _amax_lanes(pk_q, k_sc), _amax_lanes(pv_q, v_sc)
+        else:
+            pk, pv = pkv
+            ka, va = _amax_lanes(pk), _amax_lanes(pv)
+        sc = jnp.stack([ka, va]) * (margin / 127.0)
+        out.append(jnp.maximum(sc, 1e-8))
+    return tuple(out)
 
 
 def maybe_fuse_prefix(prefix_kv, anc_g, beam_width, prefix_len):
@@ -317,6 +360,11 @@ def vl_evaluation(models, config, dl, from_training=True, **kwargs) -> Dict[str,
     # per-step prefix HBM read that floors DINOv2-scale decode throughput;
     # APPROXIMATE (see VisionLanguageModule.prefill), default off
     quantize_prefix = str(config.get("prefix_kv_dtype", "") or "") == "int8"
+    # int8 GENERATED cache (config ``gen_kv_dtype: int8``): halves the
+    # generated-segment slab reads inside the fused beam kernel — the other
+    # half of the per-step HBM floor at long decodes. Per-lane static scales
+    # from the prefix stats (derive_gen_kv_scales); kernel-path only.
+    quantize_gen = str(config.get("gen_kv_dtype", "") or "") == "int8"
 
     def generate(variables, images):
         cache, prefix_kv, prefix_len = module.apply(
@@ -343,10 +391,14 @@ def vl_evaluation(models, config, dl, from_training=True, **kwargs) -> Dict[str,
             # (T, N, H*D) kernel layout: in-place slab writes, cache carried
             # un-permuted across beam reorders (ancestry folds the reorder
             # into the attention reads)
-            cache = to_kernel_cache(cache)
-            prefix_kv = maybe_fuse_prefix(
-                prefix_kv, anc_g, beam_width, prefix_len
+            gen_scales = (
+                derive_gen_kv_scales(prefix_kv) if quantize_gen else None
             )
+            cache = to_kernel_cache(cache, scales=gen_scales)
+            if gen_scales is None:  # fused-prefix experiment excludes int8
+                prefix_kv = maybe_fuse_prefix(
+                    prefix_kv, anc_g, beam_width, prefix_len
+                )
         # under shard_map the freshly-zeroed gen cache is "unvarying" while
         # the loop body makes it varying — promote it (evaluation_nlg _pvary)
         vary_axes = () if mesh is None else ("data",)

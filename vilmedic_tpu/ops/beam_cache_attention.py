@@ -94,13 +94,17 @@ def make_ancestry_mask(ancestry, g: int):
 def _kernel(idx_ref, kc_hbm, vc_hbm, q_ref, knew_ref, vnew_ref, bias_ref,
             *rest, rows: int, t: int, d: int, hd: int, tchunk: int,
             return_stats: bool = False, p_pad: int = 0, pchunk: int = 0,
-            p_real: int = 0, beams: int = 0):
+            p_real: int = 0, beams: int = 0, quantized: bool = False):
     has_prefix = p_pad > 0
+    if quantized:
+        sc_ref, rest = rest[0], rest[1:]
     if has_prefix:
         pk_hbm, pv_hbm, rest = rest[0], rest[1], rest[2:]
     kc_out, vc_out, o_ref, *maybe_stats_refs = rest
     if return_stats:
         mout_ref, lout_ref, *maybe_stats_refs = maybe_stats_refs
+    if quantized:
+        kq8_ref, vq8_ref, *maybe_stats_refs = maybe_stats_refs
     if has_prefix:
         (kbuf, vbuf, pkbuf, pvbuf, m_ref, l_ref, acc_ref,
          load_sems, pload_sems, store_sems) = maybe_stats_refs
@@ -136,8 +140,27 @@ def _kernel(idx_ref, kc_hbm, vc_hbm, q_ref, knew_ref, vnew_ref, bias_ref,
 
     # ---- in-place cache writes (start first; this step's lane is analytic,
     # so nothing below reads position idx) --------------------------------
-    kst = pltpu.make_async_copy(knew_ref, kc_out.at[idx, gi], store_sems.at[0])
-    vst = pltpu.make_async_copy(vnew_ref, vc_out.at[idx, gi], store_sems.at[1])
+    if quantized:
+        # int8 generated cache (per-lane static scales, models/
+        # vision_language.py derive_gen_kv_scales): quantize this step's K/V
+        # into int8 scratch, then DMA the scratch in place of the bf16 rows.
+        # Round-to-nearest with saturation; the scale rows are strictly
+        # positive (floored at a tiny eps by the deriver).
+        ks_lane = sc_ref[0:1, :].astype(jnp.float32)   # (1, hd)
+        vs_lane = sc_ref[1:2, :].astype(jnp.float32)
+        kq8_ref[...] = jnp.clip(
+            jnp.round(knew_ref[...].astype(jnp.float32) / ks_lane),
+            -127.0, 127.0,
+        ).astype(jnp.int8)
+        vq8_ref[...] = jnp.clip(
+            jnp.round(vnew_ref[...].astype(jnp.float32) / vs_lane),
+            -127.0, 127.0,
+        ).astype(jnp.int8)
+        ksrc, vsrc = kq8_ref, vq8_ref
+    else:
+        ksrc, vsrc = knew_ref, vnew_ref
+    kst = pltpu.make_async_copy(ksrc, kc_out.at[idx, gi], store_sems.at[0])
+    vst = pltpu.make_async_copy(vsrc, vc_out.at[idx, gi], store_sems.at[1])
     kst.start()
     vst.start()
 
@@ -186,8 +209,25 @@ def _kernel(idx_ref, kc_hbm, vc_hbm, q_ref, knew_ref, vnew_ref, bias_ref,
         # m = s_cur, l = exp(0) = 1, acc = v_new
         m_ref[hp] = s_cur
         l_ref[hp] = jnp.ones((rows2, 1), jnp.float32)
-        acc_ref[hp] = vn_all
-        q_dots.append(q_all.astype(kbuf.dtype))
+        if quantized:
+            # int8 cache: the per-lane K scale varies along the CONTRACTED
+            # dim, so it must pre-multiply one matmul operand — fold it into
+            # q (cheap: once per step, not per chunk). The per-lane V scale
+            # varies along the OUTPUT lanes, so it factors out of the whole
+            # accumulation: seed with v_new/vs and multiply acc by vs once
+            # at the end — both sides then cost zero per-chunk work.
+            # Matmul dtype follows q (bf16 in production, f32 in f32 tests)
+            # — the same convention as the unquantized path's cache dtype.
+            acc_ref[hp] = vn_all / vs_lane[:, c0:c0 + LANE]
+            q_dots.append(
+                (q_all * ks_lane[:, c0:c0 + LANE]).astype(
+                    jnp.float32 if q_ref.dtype == jnp.float32
+                    else jnp.bfloat16
+                )
+            )
+        else:
+            acc_ref[hp] = vn_all
+            q_dots.append(q_all.astype(kbuf.dtype))
 
     if has_prefix:
         # ---- beam-shared prefix segment, streamed through the SAME online
@@ -282,6 +322,12 @@ def _kernel(idx_ref, kc_hbm, vc_hbm, q_ref, knew_ref, vnew_ref, bias_ref,
                 c0 = hp * LANE
                 kc_chunk = kbuf[slot, :, :, c0:c0 + LANE].reshape(ccols, LANE)
                 vc_chunk = vbuf[slot, :, :, c0:c0 + LANE].reshape(ccols, LANE)
+                if quantized:
+                    # int8 slabs ride the MXU as bf16/f32 (the [-127, 127]
+                    # integer range is exact in bf16's 8 mantissa bits);
+                    # scales were folded into q / factored out of acc above
+                    kc_chunk = kc_chunk.astype(q_dots[hp].dtype)
+                    vc_chunk = vc_chunk.astype(q_dots[hp].dtype)
                 s = lax.dot_general(
                     q_dots[hp], kc_chunk, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
@@ -304,6 +350,8 @@ def _kernel(idx_ref, kc_hbm, vc_hbm, q_ref, knew_ref, vnew_ref, bias_ref,
     for hp in range(n_blocks):
         c0 = hp * LANE
         oh = acc_ref[hp] / l_ref[hp]
+        if quantized:
+            oh = oh * vs_lane[:, c0:c0 + LANE]  # factored-out V scale
         # row block hi holds head hi's outputs — keep only its lanes
         out_pair = oh[(hpb - 1) * rows:rows2]
         for hi in range(hpb - 1):
@@ -453,7 +501,7 @@ def pack_kernel_prefix(pk, pv, group_items: int):
 )
 def _fused_impl(kc, vc, q, k_new, v_new, bias, index, pk=None, pv=None,
                 p_real: int = 0, beams: int = 0, interpret: bool = False,
-                return_stats: bool = False):
+                return_stats: bool = False, kv_scales=None):
     """One fused decode step of reorder-free beam self-attention.
 
     kc/vc: (T, N, H*D) caches (aliased: returned updated in place at
@@ -478,6 +526,17 @@ def _fused_impl(kc, vc, q, k_new, v_new, bias, index, pk=None, pv=None,
     groups, rows, _ = bias.shape
     assert groups * rows == n and heads * d == hd
     assert LANE % d == 0 and hd % LANE == 0, (d, hd)
+
+    # int8 generated cache: caller supplies (2, hd) f32 per-lane scales
+    # (row 0 = K, row 1 = V; see models/vision_language.derive_gen_kv_scales)
+    quantized = kv_scales is not None
+    if quantized:
+        assert kc.dtype == jnp.int8 and vc.dtype == jnp.int8, (
+            kc.dtype, vc.dtype)
+        assert kv_scales.shape == (2, hd), kv_scales.shape
+        assert pk is None, "int8 generated cache + fused prefix unsupported"
+    else:
+        assert kc.dtype != jnp.int8, "int8 cache requires kv_scales"
 
     has_prefix = pk is not None
     beams = int(beams)
@@ -528,7 +587,7 @@ def _fused_impl(kc, vc, q, k_new, v_new, bias, index, pk=None, pv=None,
     kernel = functools.partial(
         _kernel, rows=rows, t=t, d=d, hd=hd, tchunk=tchunk,
         return_stats=return_stats, p_pad=p_pad, pchunk=pchunk,
-        p_real=int(p_real), beams=beams,
+        p_real=int(p_real), beams=beams, quantized=quantized,
     )
     # under shard_map (the multi-device eval path) outputs must declare their
     # varying mesh axes; inherit them from the cache operand
@@ -575,6 +634,15 @@ def _fused_impl(kc, vc, q, k_new, v_new, bias, index, pk=None, pv=None,
     ]
     operands = [idx_arr, kc4, vc4, q.reshape(n, hd), k_new.reshape(n, hd),
                 v_new.reshape(n, hd), bias]
+    if quantized:
+        # per-lane K/V scales, same (2, hd) block for every group; this
+        # step's K/V quantize into int8 scratch before the in-place DMA
+        in_specs.append(pl.BlockSpec((2, hd), lambda gi, idx: (0, 0)))
+        operands.append(kv_scales.astype(jnp.float32))
+        scratch_shapes[:0] = [
+            pltpu.VMEM((rows, hd), jnp.int8),  # kq8
+            pltpu.VMEM((rows, hd), jnp.int8),  # vq8
+        ]
     if has_prefix:
         # prefix K/V stay in HBM as (P_pad, groups, gB, hd); slabs are
         # double-buffered (pchunk, gB, hd) contiguous DMAs
@@ -620,7 +688,7 @@ def _fused_impl(kc, vc, q, k_new, v_new, bias, index, pk=None, pv=None,
 def fused_beam_cache_attention(kc, vc, q, k_new, v_new, bias, index,
                                interpret: bool = False,
                                return_stats: bool = False,
-                               prefix=None):
+                               prefix=None, kv_scales=None):
     """Public entry — see :func:`_fused_impl` for semantics.
 
     ``prefix=(pk, pv, p_real, beams)`` (from :func:`pack_kernel_prefix` +
@@ -629,10 +697,21 @@ def fused_beam_cache_attention(kc, vc, q, k_new, v_new, bias, index,
     (and ``m``/``l`` stats, if requested) then cover prefix + cache + current
     step jointly, so the caller needs no separate prefix pass or merge. Each
     query row attends only its own item's prefix — exactly the beam-fold of
-    the prefix-LM's XLA einsum path (``MultiHeadAttention.prefix_decode``)."""
+    the prefix-LM's XLA einsum path (``MultiHeadAttention.prefix_decode``).
+
+    ``kv_scales`` (a (2, hd) f32 array: row 0 = per-lane K scale, row 1 = V)
+    switches the generated cache to int8: this step's K/V rows are quantized
+    in-kernel before the in-place write, cached slabs dequantize via the
+    folded scales (K into q, V out of the accumulator), halving the
+    generated-segment HBM read that dominates long decodes. APPROXIMATE for
+    cache reads (<= 1 quantization step per element, saturating); the
+    current step's own lane stays exact. Mutually exclusive with
+    ``prefix`` (the fused-prefix experiment)."""
     if prefix is None:
         return _fused_impl(kc, vc, q, k_new, v_new, bias, index,
-                           interpret=interpret, return_stats=return_stats)
+                           interpret=interpret, return_stats=return_stats,
+                           kv_scales=kv_scales)
+    assert kv_scales is None, "fused prefix + int8 cache unsupported"
     pk, pv, p_real, beams = prefix
     return _fused_impl(kc, vc, q, k_new, v_new, bias, index, pk, pv,
                        p_real=int(p_real), beams=int(beams),
